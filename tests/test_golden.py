@@ -1,0 +1,76 @@
+"""The BASELINE metric: byte-identical extracted text + spans per url
+(`python -m pytest -x -q`), Spark pipeline vs committed oracle goldens.
+
+Three layers (SURVEY.md §5.2):
+1. oracle(fixtures) == committed goldens  → the spec has not drifted
+2. spark(fixtures)  == committed goldens  → vectorization is faithful
+3. permutation invariance: input row order cannot change per-url output
+"""
+
+import os
+
+import pytest
+
+from tests.conftest import GOLDEN_DIR, N_GOLDEN
+from webextract import fixtures, golden, oracle, pipeline
+
+GOLDEN_PATH = os.path.join(GOLDEN_DIR, "extracted.parquet")
+
+
+def _spans_key(spans):
+    return [
+        (s["name"], s["value"], s["field_type"], s["start"], s["end"],
+         s["confidence"], s["is_required"])
+        for s in (spans or [])
+    ]
+
+
+def _blocks_key(blocks):
+    return [(b["page"], b["score"], b["n_chars"]) for b in (blocks or [])]
+
+
+@pytest.fixture(scope="module")
+def goldens():
+    assert os.path.exists(GOLDEN_PATH), "run scripts/make_goldens.py"
+    return {r["url"]: r for r in golden.read_golden(GOLDEN_PATH)}
+
+
+def test_oracle_matches_committed_goldens(goldens):
+    n = 0
+    for url, _ts, payload, _t, _l in fixtures.gen_pages(N_GOLDEN):
+        want = goldens[url]
+        got = oracle.extract_document(url, payload)
+        assert got["text"] == want["text"], url
+        assert _spans_key(got["spans"]) == _spans_key(want["spans"]), url
+        assert _blocks_key(got["blocks"]) == _blocks_key(want["blocks"]), url
+        for k in ("doc_type", "status", "confidence", "n_pages", "error"):
+            assert got[k] == want[k], (url, k)
+        n += 1
+    assert n == N_GOLDEN
+
+
+def test_spark_pipeline_byte_identical(spark, pages_parquet, goldens):
+    pages = spark.read.parquet(pages_parquet)
+    rows = {r["url"]: r for r in pipeline.run_extract(pages).collect()}
+    assert len(rows) == N_GOLDEN
+    for url, want in goldens.items():
+        got = rows[url]
+        assert got["text"] == want["text"], url  # THE byte-identical contract
+        assert _spans_key(got["spans"]) == _spans_key(want["spans"]), url
+        assert _blocks_key(got["blocks"]) == _blocks_key(want["blocks"]), url
+        assert got["doc_type"] == want["doc_type"]
+        assert got["status"] == want["status"]
+        assert got["confidence"] == want["confidence"]
+        assert got["n_pages"] == want["n_pages"]
+        assert (got["error"] or None) == (want["error"] or None)
+
+
+def test_permutation_invariance(spark, pages_parquet, goldens):
+    import pyspark.sql.functions as F
+
+    pages = spark.read.parquet(pages_parquet).orderBy(F.reverse(F.col("url")))
+    rows = {r["url"]: r for r in pipeline.run_extract(pages).collect()}
+    for url, want in goldens.items():
+        got = rows[url]
+        assert got["text"] == want["text"], url
+        assert _spans_key(got["spans"]) == _spans_key(want["spans"]), url

@@ -1,0 +1,31 @@
+"""webextract — PySpark-native main-content extraction engine.
+
+A from-scratch, Spark-first re-expression of the capabilities of the
+reference repo (phamduykien/doc-ocr, a FastAPI OCR/field-extraction
+microservice): deterministic HTML boilerplate stripping + PDF layout
+parsing + regex field-span extraction, run as vectorized pandas/Arrow
+UDFs over a Common-Crawl-style ``pages`` table
+(url:string, warc_ts:timestamp, html:binary, text:string, lang:string).
+
+Layering (see SURVEY.md §7):
+
+- ``dom``      — from-scratch HTML tokenizer + parent-pointer-array DOM
+- ``boiler``   — text-density / link-density block scoring, best-of-profiles
+- ``pdfrun``   — from-scratch PDF subset parser (text runs, reading order)
+- ``fields``   — regex field registry + char-span extraction
+- ``oracle``   — single-document pure-Python pipeline (golden source)
+- ``udfs``     — Arrow-batched wrappers of the oracle components
+- ``pipeline`` — the Spark DAG (scan → parse → assemble → fields → write)
+- ``checkpoint`` — parquet+manifest snapshot catalog shim, resume anti-join
+- ``skew``     — hot-host detection + salting helpers
+- ``fixtures`` — deterministic synthetic pages generator (tests + bench)
+
+The byte-identical contract: every operator on the golden text path runs
+the SAME Python code in the single-node oracle and inside the Spark
+pandas UDFs (shared modules), so the Spark output is byte-identical per
+url to the oracle by construction — divergence means a vectorization bug.
+"""
+
+__version__ = "0.1.0"
+
+MAX_PAYLOAD_BYTES = 50 * 1024 * 1024  # reference: config/settings.py:31 MAX_FILE_SIZE

@@ -1,0 +1,111 @@
+"""Single-node pure-Python oracle: bytes → extracted record.
+
+This is the golden source (SURVEY.md §5.2): the Spark pipeline's pandas
+UDFs call EXACTLY these functions per document, so Spark output is
+byte-identical per url by construction. It mirrors the reference's
+pipeline compose (ocr-ai-service/app/services/document_service.py:90-182,
+C1): validate → detect type → parse → best-of assemble → field extract,
+with per-document error capture instead of exceptions
+(document_service.py:173-182, C2 — failures are data).
+"""
+
+from __future__ import annotations
+
+from . import MAX_PAYLOAD_BYTES
+from .boiler import blocks_of, candidates
+from .dom import parse_html
+from .fields import detect_doc_type, extract_spans
+from .pdfrun import extract_pdf
+
+STATUS_COMPLETED = "COMPLETED"
+STATUS_FAILED = "FAILED"
+
+PDF_MAGIC = b"%PDF-"
+
+
+def sniff_kind(payload: bytes) -> str:
+    """Payload sniff (the reference keys on filename extension,
+    document_service.py:58; we key on magic bytes like its PDF check)."""
+    return "pdf" if payload[:5] == PDF_MAGIC else "html"
+
+
+def parse_candidates(payload: bytes) -> dict:
+    """Stage-1 semantics: payload → candidate texts + per-candidate blocks.
+
+    Returns {kind, n_pages, candidates:[{profile,conf,score,text,
+    blocks:[{page,score,n_chars}]}], error}. Candidates empty + error set
+    on failure (size guard S2, parse errors)."""
+    if payload is None or len(payload) == 0:
+        return {"kind": "html", "n_pages": 0, "candidates": [], "error": "empty payload"}
+    if len(payload) > MAX_PAYLOAD_BYTES:
+        return {
+            "kind": sniff_kind(payload),
+            "n_pages": 0,
+            "candidates": [],
+            "error": f"payload too large: {len(payload)} > {MAX_PAYLOAD_BYTES}",
+        }
+    kind = sniff_kind(payload)
+    try:
+        if kind == "pdf":
+            pages = extract_pdf(payload)
+            text = "\n\n".join(p for p in pages if p)  # F2: skip empty pages
+            blocks = [
+                {"page": i, "score": 1.0, "n_chars": len(p)} for i, p in enumerate(pages)
+            ]
+            cand = {
+                "profile": "pdf",
+                "conf": 1.0,
+                "score": 1.0 * 0.7 + len(text) / 1000 * 0.3,
+                "text": text,
+                "blocks": blocks,
+            }
+            return {"kind": kind, "n_pages": len(pages), "candidates": [cand], "error": None}
+        dom = parse_html(payload)
+        cands = candidates(blocks_of(dom))
+        return {"kind": kind, "n_pages": 1, "candidates": cands, "error": None}
+    except Exception as e:  # noqa: BLE001 — C2: never throw past the doc
+        return {"kind": kind, "n_pages": 0, "candidates": [], "error": f"{type(e).__name__}: {e}"}
+
+
+def best_candidate(cands: list[dict]) -> dict | None:
+    """O3 argmax on precomputed score, first-wins ties (strictly-greater
+    replaces). The Spark pipeline does this step natively (aggregate HOF)
+    with identical semantics."""
+    best = None
+    for c in cands:
+        if best is None or c["score"] > best["score"]:
+            best = c
+    return best
+
+
+def extract_document(url: str, payload: bytes) -> dict:
+    """Full per-document pipeline → one row of the ``extracted`` table."""
+    doc_type = detect_doc_type(url)
+    parsed = parse_candidates(payload)
+    if parsed["error"] is not None:
+        return {
+            "url": url,
+            "doc_type": doc_type,
+            "status": STATUS_FAILED,
+            "text": "",
+            "spans": [],
+            "blocks": [],
+            "confidence": 0.0,
+            "n_pages": 0,
+            "error": parsed["error"],
+        }
+    best = best_candidate(parsed["candidates"])
+    text = best["text"] if best else ""
+    blocks = best["blocks"] if best else []
+    spans, confidence = extract_spans(text, doc_type)
+    return {
+        "url": url,
+        "doc_type": doc_type,
+        "status": STATUS_COMPLETED,
+        "text": text,
+        "spans": spans,
+        "blocks": blocks,
+        "confidence": confidence,
+        "n_pages": parsed["n_pages"],
+        "error": None,
+    }

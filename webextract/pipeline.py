@@ -1,0 +1,200 @@
+"""The Spark DAG: scan → salt/partition → parse → assemble → fields → write.
+
+Re-expresses the reference's pipeline compose
+(ocr-ai-service/app/services/document_service.py:90-182, C1) as one lazy
+DataFrame plan with three stages (SURVEY.md §3.1):
+
+  Stage 1 ``parse``     mapInPandas(oracle.parse_candidates)  — Python
+  Stage 2 ``assemble``  native Catalyst: best-of argmax (O3) over the
+                        precomputed candidate scores via the ``aggregate``
+                        higher-order function, first-wins ties, plus
+                        status/error derivation — zero Python
+  Stage 3 ``fields``    mapInPandas(fields.extract_spans)     — Python
+
+Scale design (the part that must survive 1000 executors / 100 TB):
+- rows are heavy (html blobs up to 50 MB) → Arrow batch size is capped
+  (ARROW_BATCH_ROWS) so a batch never holds more than ~tens of MB
+- ``bucket`` = pmod(xxhash64(url), n_buckets): a STABLE logical partition
+  id, independent of physical partitioning — the unit of lineage and of
+  anti-join resume (north_rule). Physical layout = repartition by bucket,
+  which also spreads any single skewed host across buckets because the
+  hash keys on the full url, not the host (see skew.py for the groupBy
+  side of skew handling).
+- column pruning: stage 1 selects only (url, warc_ts, html) + derived
+  doc_type/bucket; the wide ``text``/``lang`` input columns never leave
+  the scan (verified by test_plans.py on PushedFilters/ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from . import udfs
+
+ARROW_BATCH_ROWS = 64           # html payloads are 100 KB..50 MB (SURVEY §7.6)
+DEFAULT_BUCKETS = 64            # logical lineage/resume buckets per run
+
+EXTRACTED_COLUMNS = [
+    "url", "warc_ts", "doc_type", "status", "text", "spans", "blocks",
+    "confidence", "n_pages", "error",
+]
+
+LINEAGE_SCHEMA = (
+    "run_id string, stage string, partition_id int, input_count bigint, "
+    "bytes_in bigint, ok_count bigint, fail_count bigint, wall_ms double, "
+    "finished_at timestamp"
+)
+
+
+def package_zip() -> str:
+    """Zip this package for --py-files-style shipping to executors
+    (north_rule: the job ships as spark-submit --py-files). Cached per
+    content in the system temp dir."""
+    import hashlib
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    names = sorted(f for f in os.listdir(pkg_dir) if f.endswith(".py"))
+    h = hashlib.sha256()
+    for f in names:
+        with open(os.path.join(pkg_dir, f), "rb") as fh:
+            h.update(f.encode())
+            h.update(fh.read())
+    out = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"webextract-{h.hexdigest()[:12]}.zip"
+    )
+    if not os.path.exists(out):
+        tmp = out + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for f in names:
+                z.write(os.path.join(pkg_dir, f), arcname=f"webextract/{f}")
+        os.replace(tmp, out)
+    return out
+
+
+def build_session(
+    cpus: int | str | None = None,
+    app: str = "webextract",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    master = f"local[{cpus}]" if cpus else "local[*]"
+    n_shuffle = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = (
+        SparkSession.builder.master(master)
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
+        .config("spark.sql.files.maxPartitionBytes", "64m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("WEBEXTRACT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+    ship_package(spark)
+    return spark
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``webextract`` importable on executors regardless of driver
+    cwd — the local-mode equivalent of ``spark-submit --py-files``."""
+    spark.sparkContext.addPyFile(package_zip())
+
+
+def with_doc_type(df: DataFrame) -> DataFrame:
+    """F1 natively in Catalyst (ocr_service.py:170-179): basename-prefix
+    classify. Pure expressions — mirrors fields.detect_doc_type exactly
+    (upper(basename) startswith BIA / MUCLUC)."""
+    base = F.upper(F.element_at(F.split(F.col("url"), "/"), -1))
+    return df.withColumn(
+        "doc_type",
+        F.when(base.startswith("BIA"), F.lit("THONG_TIN_HO_SO"))
+        .when(base.startswith("MUCLUC"), F.lit("MUC_LUC_TAI_LIEU"))
+        .otherwise(F.lit("THONG_TIN_VAN_BAN")),
+    )
+
+
+def with_bucket(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int")
+    )
+
+
+def stage_parse(pages: DataFrame, n_buckets: int = DEFAULT_BUCKETS,
+                partitions: int | None = None) -> DataFrame:
+    """Stage 1: prune to needed columns, bucket, parse payloads."""
+    prepped = with_bucket(with_doc_type(pages.select("url", "warc_ts", "html")), n_buckets)
+    n_parts = partitions or prepped.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    prepped = prepped.repartition(int(n_parts), "bucket")
+    return prepped.mapInPandas(udfs.parse_batches, udfs.PARSED_SCHEMA)
+
+
+def stage_assemble(parsed: DataFrame) -> DataFrame:
+    """Stage 2 (pure Catalyst): best-of-candidates argmax O3/D5 with
+    first-wins ties — IF(c.score > acc.score) keeps the earlier profile on
+    ties, exactly like oracle.best_candidate."""
+    best = F.expr(
+        "CASE WHEN size(candidates) > 0 THEN "
+        "aggregate(slice(candidates, 2, size(candidates)), candidates[0], "
+        "(acc, c) -> IF(c.score > acc.score, c, acc)) END"
+    )
+    df = parsed.withColumn("best", best)
+    return df.select(
+        "url", "warc_ts", "doc_type", "bucket",
+        F.when(F.col("error").isNotNull(), F.lit("FAILED"))
+        .otherwise(F.lit("COMPLETED")).alias("status"),
+        F.coalesce(F.col("best.text"), F.lit("")).alias("text"),
+        F.coalesce(F.col("best.blocks"), F.expr(f"CAST(array() AS {udfs.BLOCK_T})"))
+        .alias("blocks"),
+        F.col("n_pages"), F.col("bytes_in"), F.col("error"), F.col("_wall_ms"),
+    )
+
+
+def stage_fields(assembled: DataFrame) -> DataFrame:
+    """Stage 3: regex field registry → spans with char offsets."""
+    cols = ("url string, warc_ts timestamp, doc_type string, bucket int, "
+            "status string, text string, "
+            f"blocks {udfs.BLOCK_T}, n_pages int, bytes_in bigint, error string, "
+            f"_wall_ms double, spans {udfs.SPAN_T}, confidence double")
+    return assembled.mapInPandas(udfs.fields_batches, cols)
+
+
+def run_extract(pages: DataFrame, n_buckets: int = DEFAULT_BUCKETS,
+                partitions: int | None = None) -> DataFrame:
+    """pages → extracted (no checkpointing; see runner.py for the
+    checkpointed, resumable job)."""
+    out = stage_fields(stage_assemble(stage_parse(pages, n_buckets, partitions)))
+    return out.select(*EXTRACTED_COLUMNS)
+
+
+def lineage_of(stage_df: DataFrame, run_id: str, stage: str) -> DataFrame:
+    """Per-bucket lineage rows (FIXTURES.md §3) from a stage output that
+    carries bucket/bytes_in/error/_wall_ms. ``wall_ms`` is the max
+    cumulative batch wall time observed in the bucket's physical
+    partition (upper bound of the bucket's processing time)."""
+    return (
+        stage_df.groupBy(F.col("bucket").alias("partition_id"))
+        .agg(
+            F.count("*").alias("input_count"),
+            F.sum("bytes_in").alias("bytes_in"),
+            F.sum(F.when(F.col("error").isNull(), 1).otherwise(0)).alias("ok_count"),
+            F.sum(F.when(F.col("error").isNull(), 0).otherwise(1)).alias("fail_count"),
+            F.max("_wall_ms").alias("wall_ms"),
+        )
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(stage).alias("stage"),
+            "partition_id", "input_count", "bytes_in", "ok_count", "fail_count",
+            "wall_ms",
+            F.current_timestamp().alias("finished_at"),
+        )
+    )
+
+
+def new_run_id() -> str:
+    return time.strftime("%Y%m%d%H%M%S") + "-" + uuid.uuid4().hex[:8]
