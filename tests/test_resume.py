@@ -1,0 +1,75 @@
+"""Resume / idempotence properties (SURVEY.md §5.2 #3).
+
+- kill-after-K-groups + resume ⇒ byte-identical final table vs an
+  uninterrupted run
+- re-running a finished job appends nothing (idempotence)
+- lineage rows cover every bucket exactly once with sane counters
+"""
+
+import pyspark.sql.functions as F
+
+from webextract import runner
+from webextract.checkpoint import Catalog
+
+N = 120
+
+
+def _pages(spark, pages_parquet):
+    return spark.read.parquet(pages_parquet).limit(N)
+
+
+def _final(df):
+    rows = df.select("url", "text", "status", "confidence").collect()
+    return sorted((r["url"], r["text"], r["status"], r["confidence"]) for r in rows)
+
+
+def test_kill_resume_equivalence(spark, pages_parquet, tmp_path):
+    pages = _pages(spark, pages_parquet)
+
+    # uninterrupted reference run
+    full = runner.run_job(spark, pages, str(tmp_path / "full"), commit_groups=4)
+    want = _final(full)
+    assert len(want) == N
+
+    # killed after 2 of 4 groups
+    out = str(tmp_path / "killed")
+    partial = runner.run_job(spark, pages, out, commit_groups=4, max_groups=2)
+    n_partial = partial.count()
+    assert 0 < n_partial < N
+
+    done_before = runner.completed_buckets(spark, Catalog(out))
+    assert done_before
+
+    # resume completes the rest
+    resumed = runner.run_job(spark, pages, out, commit_groups=4)
+    assert _final(resumed) == want
+
+
+def test_idempotent_rerun(spark, pages_parquet, tmp_path):
+    pages = _pages(spark, pages_parquet)
+    out = str(tmp_path / "idem")
+    first = runner.run_job(spark, pages, out, commit_groups=2)
+    n1 = first.count()
+    again = runner.run_job(spark, pages, out, commit_groups=2)
+    assert again.count() == n1  # no duplicate appends
+
+
+def test_lineage_counters(spark, pages_parquet, tmp_path):
+    pages = _pages(spark, pages_parquet)
+    out = str(tmp_path / "lin")
+    ext = runner.run_job(spark, pages, out, commit_groups=2)
+    lin = Catalog(out).read(spark, runner.LINEAGE_TABLE)
+    agg = lin.agg(
+        F.sum("input_count").alias("n"),
+        F.sum("ok_count").alias("ok"),
+        F.sum("fail_count").alias("fail"),
+        F.countDistinct("partition_id").alias("buckets"),
+        F.min("wall_ms").alias("min_wall"),
+    ).collect()[0]
+    assert agg["n"] == N
+    assert agg["ok"] + agg["fail"] == N
+    assert agg["fail"] == ext.filter(F.col("status") == "FAILED").count()
+    assert agg["min_wall"] >= 0.0
+    # every lineage bucket appears once (no double-commit)
+    dupes = lin.groupBy("partition_id").count().filter(F.col("count") > 1).count()
+    assert dupes == 0
