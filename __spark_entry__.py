@@ -1,38 +1,869 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``      — flagship: main-content extraction (webextract
+                        pipeline) over a pages table synthesized
+                        deterministically from /root/testdata/sf0.001.
+``queries()``         — one named query per implemented operator from
+                        SURVEY.md §2 (+ the training-data-pipeline ops:
+                        dedup / minhash-LSH / simhash / jaccard /
+                        similarity search / text analysis / multimodal
+                        plumbing).
+``oracle_sql()``      — DuckDB-equivalent ANSI SQL per query. Float
+                        aggregates are summed as decimals (exact,
+                        order-independent) and/or rounded so Spark and
+                        DuckDB hash identically. Queries that are not
+                        SQL-expressible (the extraction pipeline itself,
+                        the pandas-UDF multimodal decode) have no oracle
+                        entry → driver records a rows-only check; their
+                        correctness gate is tests/test_golden.py
+                        (byte-identical vs the pure-Python oracle).
+
+Operator ↔ SURVEY §2 cross-references are given per query as  [A1] etc.
 """
 
 from __future__ import annotations
 
+import datetime as dt
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+# ----------------------------------------------------------------- helpers
+
+
+def _prep(spark: SparkSession) -> None:
+    """Session knobs every query relies on: UTC rendering (parquet
+    timestamps are naive-UTC; DuckDB reads them naive) and Arrow."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _views(spark: SparkSession, sf_dir: str, names: list[str]) -> None:
+    for n in names:
+        _t(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, fn: Callable[[SparkSession, str], DataFrame],
+              sql: str | None = None) -> None:
+    _QUERIES[name] = fn
+    if sql is not None:
+        _ORACLES[name] = sql
+
+
+def _sqlq(name: str, tables: list[str], spark_sql: str,
+          duck_sql: str | None = None) -> None:
+    """Register a query whose Spark side is spark.sql over temp views
+    (pure Catalyst — declarative, codegen'd) and whose oracle is DuckDB
+    SQL. When the dialects agree the same text serves both."""
+    def fn(spark: SparkSession, sf_dir: str, _s=spark_sql, _tabs=tuple(tables)) -> DataFrame:
+        _prep(spark)
+        _views(spark, sf_dir, list(_tabs))
+        return spark.sql(_s)
+    _register(name, fn, duck_sql if duck_sql is not None else spark_sql)
+
+
+# decimal-exact, order-independent float aggregates (same result on any
+# partitioning / either engine)
+def _dsum(col: str, scale: str = "decimal(28,10)", nd: int = 2) -> str:
+    return f"round(cast(sum(cast({col} as {scale})) as double), {nd})"
+
+
+def _davg(col: str, scale: str = "decimal(28,10)", nd: int = 4) -> str:
+    return f"round(cast(sum(cast({col} as {scale})) as double) / count(*), {nd})"
+
+
+# ======================================================== flagship pipeline
+
+
+def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the north-rule `pages` table (url, warc_ts, html:binary,
+    text, lang) from the driver's documents table — page assembly is pure
+    Catalyst (concat/encode), so only the extraction itself runs in
+    Python. Deterministic: content is a pure function of (doc_id, text)."""
+    docs = _t(spark, sf_dir, "documents")
+    prefix = F.element_at(
+        F.array(F.lit("BIA"), F.lit("MUCLUC"), F.lit("VANBAN")),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+    )
+    html = F.concat(
+        F.lit("<!DOCTYPE html><html><head><meta charset=\"utf-8\"><title>doc</title>"
+              "<script>var x = 1 < 2;</script></head><body>"
+              "<div id=\"nav\"><ul><li><a href=\"/\">home</a></li>"
+              "<li><a href=\"/list\">list</a></li><li><a href=\"/about\">about</a></li>"
+              "</ul></div><article><h1>Document "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit(". Tổng số: "), (F.pmod(F.col("doc_id"), F.lit(200)) + 1).cast("string"),
+        F.lit(" trang.</p><p>Ngày ban hành: 0"),
+        (F.pmod(F.col("doc_id"), F.lit(9)) + 1).cast("string"),
+        F.lit("/03/2024.</p></article>"
+              "<div id=\"footer\"><a href=\"/\">© archive</a></div></body></html>"),
+    )
+    return docs.select(
+        F.concat(F.lit("https://docs.example.org/"), F.col("source"), F.lit("/"),
+                 prefix, F.lit("_"), F.col("doc_id").cast("string"),
+                 F.lit(".html")).alias("url"),
+        F.lit(dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)).alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def _fixture_pages(spark: SparkSession, n: int = 200) -> DataFrame:
+    from webextract import fixtures
+    rows = list(fixtures.gen_pages(n))
+    return spark.createDataFrame(
+        rows, schema="url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+
+def _extract_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[C1,S1-S2,F1-F2,O3,U1,D5,P3-P7] full extraction DAG:
+    scan → sniff/classify → bucket-repartition → parse pUDF →
+    best-of assemble (native HOF argmax) → field-span pUDF."""
+    _prep(spark)
+    from webextract import pipeline
+    pipeline.ship_package(spark)
+    pages = _pages_from_documents(spark, sf_dir).unionByName(_fixture_pages(spark))
+    return pipeline.run_extract(pages, n_buckets=16)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _extract_flagship(spark, "/root/testdata/sf0.001")
+
+
+def _extract_stats_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4-A7,A10] one-shuffle statistics rollup over the extracted table
+    (reference: document_service.py:217-251)."""
+    ext = _extract_flagship(spark, sf_dir)
+    return (
+        ext.cube("status", "doc_type")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_pages").alias("total_pages"),
+            F.round(F.avg("confidence"), 4).alias("avg_confidence"),
+        )
+    )
+
+
+def _extract_spans_lowconf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[P9,F17,F18] explode spans; required-but-missing and low-confidence
+    field warnings (ai_service.py:286-304)."""
+    ext = _extract_flagship(spark, sf_dir)
+    s = ext.select("url", "doc_type", F.explode("spans").alias("s"))
+    return s.select(
+        "url", "doc_type", F.col("s.name").alias("field_name"),
+        F.col("s.confidence").alias("field_confidence"),
+        (F.col("s.is_required") & (F.trim(F.col("s.value")) == "")).alias("missing_required"),
+    ).filter((F.col("field_confidence") < 0.7) | F.col("missing_required"))
+
+
+def _multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[M5-analogue] opaque-binary multimodal plumbing: mapInPandas over a
+    binary media column with a deterministic fake decoder (real image/audio
+    libs absent in this container — webextract.multimodal documents the
+    stub boundary). Schema/batching/partitioning are the real thing."""
+    _prep(spark)
+    from webextract import multimodal, pipeline
+    pipeline.ship_package(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("media"), "source"
+    )
+    return multimodal.decode_media(docs)
+
+
+_register("extract_flagship", _extract_flagship)          # rows-only gate
+_register("extract_stats_cube", _extract_stats_cube)      # rows-only gate
+_register("extract_spans_lowconf", _extract_spans_lowconf)  # rows-only gate
+_register("multimodal_decode_stub", _multimodal_decode_stub)  # rows-only
+
+
+# ===================================================== relational operators
+
+
+def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A10,P-group] TPC-H Q1-shaped multi-agg with predicate pushdown."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(28,10)")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(28,10)")).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(28,10)")).cast("double") / F.count("*"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_register("q1_pricing_summary", _q1_pricing_summary, f"""
+SELECT l_returnflag, l_linestatus,
+       {_dsum('l_quantity')} AS sum_qty,
+       {_dsum('l_extendedprice')} AS sum_base_price,
+       {_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {_davg('l_quantity')} AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+
+
+def _q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.11 joins, O2] selective join chain + exact-decimal ordered
+    top-k; small dim side broadcast."""
+    _prep(spark)
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey)
+    g = j.groupBy("o_orderkey", "o_orderdate").agg(F.sum(rev).alias("rev_d"))
+    return (
+        g.orderBy(F.desc("rev_d"), F.asc("o_orderkey")).limit(10)
+        .select(
+            "o_orderkey",
+            F.round(F.col("rev_d").cast("double"), 2).alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+    )
+
+
+_register("q3_top_revenue", _q3_top_revenue, """
+SELECT o_orderkey,
+       round(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(28,10))) as double), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY sum(cast(l_extendedprice * (1 - l_discount) as decimal(28,10))) DESC, o_orderkey
+LIMIT 10
+""")
+
+
+def _region_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.11 joins, A4] broadcast dim-chain join region←nation←customer."""
+    _prep(spark)
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return j.groupBy("r_name").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(28,10)")).cast("double") / F.count("*"), 4).alias("avg_acctbal"),
+    )
+
+
+_register("region_customer_rollup", _region_customer_rollup, f"""
+SELECT r_name, count(*) AS n_customers, {_davg('c_acctbal')} AS avg_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""")
+
+
+def _semi_join_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.11, P-group] left-semi join: customers having at least one
+    order above 2× the average order value."""
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    thresh = o.agg((F.avg("o_totalprice") * 1.5).alias("t"))
+    big = o.join(F.broadcast(thresh)).filter(F.col("o_totalprice") > F.col("t"))
+    c = _t(spark, sf_dir, "customer")
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment")
+
+
+_register("semi_join_big_spenders", _semi_join_big_spenders, """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders))
+""")
+
+
+def _anti_join_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.11 anti-join — the resume mechanic's shape (runner.py)]:
+    customers with NO order in the last data year."""
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+    c = _t(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_nationkey")
+
+
+_register("anti_join_quiet_customers", _anti_join_quiet_customers, """
+SELECT c_custkey, c_nationkey
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+""")
+
+
+def _window_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[O3 as window] per-group argmax via row_number (best-of select,
+    ocr_service_advanced.py:388 re-expressed relationally)."""
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+_register("window_top_order_per_customer", _window_top_order_per_customer, """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+WHERE rn = 1
+""")
+
+
+def _window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.11 windows] running per-customer revenue (exact decimal sum so
+    the prefix sums are engine-independent); bounded to custkey<100."""
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(28,10)")).over(w).cast("double"), 2)
+        .alias("running_total"),
+    )
+
+
+_register("window_running_revenue", _window_running_revenue, """
+SELECT o_custkey, o_orderkey,
+       round(cast(sum(cast(o_totalprice as decimal(28,10)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double), 2)
+       AS running_total
+FROM orders WHERE o_custkey < 100
+""")
+
+
+_sqlq("window_event_gaps", ["events"], """
+SELECT user_id,
+       round(cast(sum(cast((unix_millis(cast(ts as timestamp)) - unix_millis(cast(pts as timestamp))) / 60000.0 as decimal(28,10))) as double) / count(*), 4) AS avg_gap_min,
+       count(*) AS n_gaps
+FROM (SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+      FROM events)
+WHERE pts IS NOT NULL
+GROUP BY user_id
+""", """
+SELECT user_id,
+       round(cast(sum(cast((epoch_ms(ts) - epoch_ms(pts)) / 60000.0 as decimal(28,10))) as double) / count(*), 4) AS avg_gap_min,
+       count(*) AS n_gaps
+FROM (SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+      FROM events)
+WHERE pts IS NOT NULL
+GROUP BY user_id
+""")
+
+
+_sqlq("sessionize_events", ["events"], """
+SELECT user_id, cast(sum(CASE WHEN pts IS NULL OR unix_millis(cast(ts as timestamp)) - unix_millis(cast(pts as timestamp)) > 1800000
+                         THEN 1 ELSE 0 END) as bigint) AS n_sessions,
+       count(*) AS n_events
+FROM (SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+      FROM events)
+GROUP BY user_id
+""", """
+SELECT user_id, cast(sum(CASE WHEN pts IS NULL OR epoch_ms(ts) - epoch_ms(pts) > 1800000
+                         THEN 1 ELSE 0 END) as bigint) AS n_sessions,
+       count(*) AS n_events
+FROM (SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+      FROM events)
+GROUP BY user_id
+""")
+
+
+_sqlq("cube_order_stats", ["orders"], f"""
+SELECT o_orderstatus, o_orderpriority,
+       grouping(o_orderstatus) AS g_status, grouping(o_orderpriority) AS g_priority,
+       count(*) AS n_orders, {_dsum('o_totalprice')} AS total_price
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""")
+
+
+_sqlq("pagination_orders", ["orders"], """
+SELECT o_orderkey, date_format(o_orderdate, 'yyyy-MM-dd') AS order_date, o_totalprice
+FROM orders ORDER BY o_orderdate DESC, o_orderkey LIMIT 20 OFFSET 40
+""", """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice
+FROM orders ORDER BY o_orderdate DESC, o_orderkey LIMIT 20 OFFSET 40
+""")
+
+
+_sqlq("point_lookup_order", ["orders"], """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       date_format(o_orderdate, 'yyyy-MM-dd') AS order_date, o_orderpriority
+FROM orders WHERE o_orderkey = 42
+""", """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority
+FROM orders WHERE o_orderkey = 42
+""")
+
+
+_sqlq("topk_heavy_users", ["events"], """
+SELECT user_id, count(*) AS n_events
+FROM events GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10
+""")
+
+
+_sqlq("event_type_stats", ["events"], f"""
+SELECT event_type, count(*) AS n,
+       {_davg('value')} AS avg_value,
+       date_format(min(ts), 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS first_ts,
+       date_format(max(ts), 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS last_ts
+FROM events GROUP BY event_type
+""", f"""
+SELECT event_type, count(*) AS n,
+       {_davg('value')} AS avg_value,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+FROM events GROUP BY event_type
+""")
+
+
+_sqlq("ttl_recent_events", ["events"], """
+SELECT event_type, count(*) AS n
+FROM events
+WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+GROUP BY event_type
+""")
+
+
+_sqlq("event_age_histogram", ["events"], """
+SELECT cast(floor((unix_millis(cast((SELECT max(ts) FROM events) as timestamp)) - unix_millis(cast(ts as timestamp)))
+                  / 86400000.0) as bigint) AS age_days,
+       count(*) AS n
+FROM events GROUP BY 1
+""", """
+SELECT cast(floor((epoch_ms((SELECT max(ts) FROM events)) - epoch_ms(ts))
+                  / 86400000.0) as bigint) AS age_days,
+       count(*) AS n
+FROM events GROUP BY 1
+""")
+
+
+_sqlq("json_props_extract", ["events"], """
+SELECT get_json_object(props, '$.k') AS k_value, count(*) AS n
+FROM events GROUP BY 1
+""", """
+SELECT json_extract_string(props, '$.k') AS k_value, count(*) AS n
+FROM events GROUP BY 1
+""")
+
+
+_sqlq("date_bucket_daily", ["events"], f"""
+SELECT date_format(ts, 'yyyy-MM-dd') AS day, count(*) AS n,
+       {_dsum('value', nd=4)} AS total_value
+FROM events GROUP BY 1
+""", f"""
+SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+       {_dsum('value', nd=4)} AS total_value
+FROM events GROUP BY 1
+""")
+
+
+_sqlq("nested_order_lines", ["lineitem"], """
+WITH la AS (
+  SELECT l_orderkey,
+         sort_array(collect_list(struct(l_linenumber, l_quantity))) AS ls
+  FROM lineitem GROUP BY l_orderkey)
+SELECT l_orderkey, cast(size(ls) as bigint) AS n_lines,
+       round(aggregate(ls, cast(0.0 as double), (acc, x) -> acc + x.l_quantity), 4) AS qty_sum,
+       ls[0].l_quantity AS first_qty, element_at(ls, -1).l_quantity AS last_qty
+FROM la
+""", """
+WITH la AS (
+  SELECT l_orderkey, list(l_quantity ORDER BY l_linenumber, l_quantity) AS qs
+  FROM lineitem GROUP BY l_orderkey)
+SELECT l_orderkey, cast(len(qs) as bigint) AS n_lines,
+       round(list_sum(qs), 4) AS qty_sum,
+       qs[1] AS first_qty, qs[len(qs)] AS last_qty
+FROM la
+""")
+
+
+_sqlq("order_flags_distinct", ["lineitem"], """
+SELECT l_orderkey,
+       array_join(sort_array(array_distinct(collect_list(l_returnflag))), ',') AS flags
+FROM lineitem GROUP BY l_orderkey
+""", """
+SELECT l_orderkey,
+       array_to_string(list_sort(list_distinct(list(l_returnflag))), ',') AS flags
+FROM lineitem GROUP BY l_orderkey
+""")
+
+
+_sqlq("deterministic_sample", ["documents"], """
+SELECT doc_id, lang, source FROM documents
+WHERE substr(md5(text), 1, 1) IN ('0', '1', '2', '3')
+""")
+
+
+def _salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§4.3 skew salting] two-phase salted aggregation — partial agg on
+    (user_id, salt), final re-agg on user_id. Decimal sums make the split
+    associative-exact, so the oracle is the plain one-phase groupBy."""
+    _prep(spark)
+    e = _t(spark, sf_dir, "events")
+    salted = e.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(8)))
+    part = salted.groupBy("user_id", "salt").agg(
+        F.sum(F.col("value").cast("decimal(28,10)")).alias("ps"),
+        F.count("*").alias("pc"),
+    )
+    return part.groupBy("user_id").agg(
+        F.round(F.sum("ps").cast("double"), 4).alias("total_value"),
+        F.sum("pc").alias("n_events"),
+    )
+
+
+_register("salted_user_totals", _salted_user_totals, f"""
+SELECT user_id, {_dsum('value', nd=4)} AS total_value, count(*) AS n_events
+FROM events GROUP BY user_id
+""")
+
+
+_sqlq("classify_source_tier", ["documents"], """
+SELECT CASE WHEN source IN ('src0', 'src1') THEN 'gold'
+            WHEN source LIKE 'src1%' THEN 'silver'
+            ELSE 'bronze' END AS tier,
+       count(*) AS n_docs
+FROM documents GROUP BY 1
+""")
+
+
+# ============================================== text analysis / dedup / ANN
+
+# shared dialect fragments: tokenization (non-empty whitespace tokens)
+_SPARK_TOK = ("SELECT doc_id, lang, token FROM (SELECT doc_id, lang, "
+              "explode(split(text, ' ')) AS token FROM documents) WHERE token <> ''")
+_DUCK_TOK = ("SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token "
+             "FROM documents")
+_DUCK_TOK_NE = f"SELECT * FROM ({_DUCK_TOK}) WHERE token <> ''"
+
+
+_sqlq("token_counts_by_lang", ["documents"], """
+SELECT lang,
+       round(avg(size(filter(split(text, ' '), x -> x <> ''))), 4) AS avg_tokens,
+       cast(sum(size(filter(split(text, ' '), x -> x <> ''))) as bigint) AS total_tokens,
+       count(*) AS n_docs
+FROM documents GROUP BY lang
+""", """
+SELECT lang,
+       round(avg(len(list_filter(string_split(text, ' '), x -> x <> ''))), 4) AS avg_tokens,
+       cast(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) as bigint) AS total_tokens,
+       count(*) AS n_docs
+FROM documents GROUP BY lang
+""")
+
+
+_EN_STOP = "'the', 'of', 'and', 'a', 'to', 'in', 'is', 'on', 'for', 'with'"
+_VI_STOP = "'và', 'của', 'các', 'là', 'có', 'cho', 'trong', 'được', 'người', 'không'"
+
+_sqlq("lang_id_stopwords", ["documents"], f"""
+SELECT doc_id, lang,
+       CASE WHEN en_hits > vi_hits THEN 'en'
+            WHEN vi_hits > en_hits THEN 'vi' ELSE 'und' END AS pred_lang,
+       en_hits, vi_hits
+FROM (SELECT doc_id, lang,
+             cast(sum(CASE WHEN token IN ({_EN_STOP}) THEN 1 ELSE 0 END) as bigint) AS en_hits,
+             cast(sum(CASE WHEN token IN ({_VI_STOP}) THEN 1 ELSE 0 END) as bigint) AS vi_hits
+      FROM ({_SPARK_TOK}) GROUP BY doc_id, lang)
+""", f"""
+SELECT doc_id, lang,
+       CASE WHEN en_hits > vi_hits THEN 'en'
+            WHEN vi_hits > en_hits THEN 'vi' ELSE 'und' END AS pred_lang,
+       en_hits, vi_hits
+FROM (SELECT doc_id, lang,
+             cast(sum(CASE WHEN token IN ({_EN_STOP}) THEN 1 ELSE 0 END) as bigint) AS en_hits,
+             cast(sum(CASE WHEN token IN ({_VI_STOP}) THEN 1 ELSE 0 END) as bigint) AS vi_hits
+      FROM ({_DUCK_TOK_NE}) GROUP BY doc_id, lang)
+""")
+
+
+_sqlq("doc_quality_scores", ["documents"], """
+SELECT doc_id, n_chars,
+       cast(size(filter(split(text, ' '), x -> x <> '')) as bigint) AS n_tokens,
+       cast(size(array_distinct(filter(split(text, ' '), x -> x <> ''))) as bigint) AS n_distinct_tokens,
+       round(cast(n_chars as double) / size(filter(split(text, ' '), x -> x <> '')), 4) AS chars_per_token,
+       round(1.0 - cast(size(array_distinct(filter(split(text, ' '), x -> x <> ''))) as double)
+                   / size(filter(split(text, ' '), x -> x <> '')), 4) AS repetition_ratio
+FROM documents
+""", """
+SELECT doc_id, n_chars,
+       cast(len(list_filter(string_split(text, ' '), x -> x <> '')) as bigint) AS n_tokens,
+       cast(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) as bigint) AS n_distinct_tokens,
+       round(cast(n_chars as double) / len(list_filter(string_split(text, ' '), x -> x <> '')), 4) AS chars_per_token,
+       round(1.0 - cast(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) as double)
+                   / len(list_filter(string_split(text, ' '), x -> x <> '')), 4) AS repetition_ratio
+FROM documents
+""")
+
+
+_sqlq("doc_fingerprints", ["documents"], f"""
+SELECT t.doc_id,
+       substr(min(md5(token)), 1, 16) AS fp_min,
+       substr(max(md5(token)), 1, 16) AS fp_max,
+       min(md5(substr(d.text, 1, 64))) AS fp_prefix
+FROM ({_SPARK_TOK}) t JOIN documents d ON t.doc_id = d.doc_id
+GROUP BY t.doc_id
+""", f"""
+SELECT t.doc_id,
+       substr(min(md5(token)), 1, 16) AS fp_min,
+       substr(max(md5(token)), 1, 16) AS fp_max,
+       min(md5(substr(d.text, 1, 64))) AS fp_prefix
+FROM ({_DUCK_TOK_NE}) t JOIN documents d ON t.doc_id = d.doc_id
+GROUP BY t.doc_id
+""")
+
+
+_sqlq("exact_dedup_prefix", ["documents"], """
+SELECT substr(text, 1, 16) AS text_prefix, count(*) AS n_dups,
+       min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+""")
+
+
+# MinHash: k=4 hash functions h_s(token) = md5('<s>:' || token); per-doc
+# signature = lexicographic min per seed (a valid min-hash family over
+# distinct tokens).
+_MINHASH_CORE = """
+SELECT doc_id,
+       substr(min(md5('0:' || token)), 1, 12) AS h0,
+       substr(min(md5('1:' || token)), 1, 12) AS h1,
+       substr(min(md5('2:' || token)), 1, 12) AS h2,
+       substr(min(md5('3:' || token)), 1, 12) AS h3
+FROM ({tok}) GROUP BY doc_id
+"""
+
+_sqlq("minhash_signatures", ["documents"],
+      _MINHASH_CORE.format(tok=_SPARK_TOK),
+      _MINHASH_CORE.format(tok=_DUCK_TOK_NE))
+
+
+# LSH banding: 2 bands × 2 rows; candidate pair = docs sharing any band key.
+_LSH_CORE = """
+WITH sig AS ({core}),
+bands AS (
+  SELECT doc_id, 0 AS band, h0 || h1 AS bkey FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, h2 || h3 AS bkey FROM sig)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+_sqlq("lsh_candidate_pairs", ["documents"],
+      _LSH_CORE.format(core=_MINHASH_CORE.format(tok=_SPARK_TOK)),
+      _LSH_CORE.format(core=_MINHASH_CORE.format(tok=_DUCK_TOK_NE)))
+
+
+# n-gram (token-set) Jaccard over all pairs — the exact baseline LSH
+# approximates. Distinct tokens per doc, pair via token equi-join.
+_JACCARD_CORE = """
+WITH tok AS (SELECT DISTINCT doc_id, token FROM ({tok})),
+cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       round(i / cast(ca.n + cb.n - i as double), 4) AS jaccard
+FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+WHERE i / cast(ca.n + cb.n - i as double) >= 0.5
+"""
+
+_sqlq("jaccard_similar_pairs", ["documents"],
+      _JACCARD_CORE.format(tok=_SPARK_TOK),
+      _JACCARD_CORE.format(tok=_DUCK_TOK_NE))
+
+
+# SimHash (16-bit) over distinct tokens; token hash = first 4 hex chars of
+# md5 decoded via instr('0123456789abcdef', ...) — identical text in both
+# dialects; only the bit-shift operator differs.
+_HEX4 = ("((instr('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 4096 + "
+         "(instr('0123456789abcdef', substr(md5(token), 2, 1)) - 1) * 256 + "
+         "(instr('0123456789abcdef', substr(md5(token), 3, 1)) - 1) * 16 + "
+         "(instr('0123456789abcdef', substr(md5(token), 4, 1)) - 1))")
+
+
+def _simhash_sql(tok_src: str, shift_tpl: str) -> str:
+    bit_sums = ",\n       ".join(
+        f"sum(CASE WHEN {shift_tpl.format(b=b)} = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(16)
+    )
+    recombine = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+    )
+    return f"""
+WITH tok AS (SELECT DISTINCT doc_id, token FROM ({tok_src})),
+th AS (SELECT doc_id, {_HEX4} AS h FROM tok),
+bits AS (SELECT doc_id,
+       {bit_sums}
+FROM th GROUP BY doc_id)
+SELECT doc_id, cast({recombine} as bigint) AS simhash16 FROM bits
+"""
+
+
+_sqlq("simhash_doc_hashes", ["documents"],
+      _simhash_sql(_SPARK_TOK, "shiftright(h, {b}) & 1"),
+      _simhash_sql(_DUCK_TOK_NE, "(h >> {b}) & 1"))
+
+
+_sqlq("embedding_norms", ["embeddings"], """
+SELECT vec_id, label,
+       round(sqrt(aggregate(embedding, cast(0.0 as double),
+                            (acc, x) -> acc + cast(x as double) * cast(x as double))), 4) AS l2_norm,
+       cast(size(embedding) as bigint) AS dim
+FROM embeddings
+""", """
+SELECT vec_id, label,
+       round(sqrt(list_sum(list_transform(embedding,
+                            x -> cast(x as double) * cast(x as double)))), 4) AS l2_norm,
+       cast(len(embedding) as bigint) AS dim
+FROM embeddings
+""")
+
+
+# Brute-force cosine top-k (the exact ANN baseline): queries = vec_id 0..2,
+# k = 5. Dot products via position join; ranking on the ROUNDED similarity
+# with vec_id tiebreak so both engines pick identical neighbor sets.
+_COSINE_SPARK = """
+WITH flat AS (SELECT vec_id, posexplode(embedding) AS (i, e) FROM embeddings),
+nrm AS (SELECT vec_id, sqrt(sum(cast(e as double) * cast(e as double))) AS n
+        FROM flat GROUP BY vec_id),
+dots AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         sum(cast(q.e as double) * cast(c.e as double)) AS dot
+  FROM flat q JOIN flat c ON q.i = c.i AND q.vec_id <> c.vec_id
+  WHERE q.vec_id IN (0, 1, 2)
+  GROUP BY q.vec_id, c.vec_id),
+sims AS (
+  SELECT q_id, c_id, round(dot / (nq.n * nc.n), 4) AS cosine
+  FROM dots JOIN nrm nq ON nq.vec_id = q_id JOIN nrm nc ON nc.vec_id = c_id),
+ranked AS (
+  SELECT q_id, c_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+  FROM sims)
+SELECT q_id, rank, c_id AS neighbor_id, cosine FROM ranked WHERE rank <= 5
+"""
+
+_COSINE_DUCK = """
+WITH flat AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                     unnest(embedding) AS e FROM embeddings),
+nrm AS (SELECT vec_id, sqrt(sum(cast(e as double) * cast(e as double))) AS n
+        FROM flat GROUP BY vec_id),
+dots AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         sum(cast(q.e as double) * cast(c.e as double)) AS dot
+  FROM flat q JOIN flat c ON q.i = c.i AND q.vec_id <> c.vec_id
+  WHERE q.vec_id IN (0, 1, 2)
+  GROUP BY q.vec_id, c.vec_id),
+sims AS (
+  SELECT q_id, c_id, round(dot / (nq.n * nc.n), 4) AS cosine
+  FROM dots JOIN nrm nq ON nq.vec_id = q_id JOIN nrm nc ON nc.vec_id = c_id),
+ranked AS (
+  SELECT q_id, c_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+  FROM sims)
+SELECT q_id, rank, c_id AS neighbor_id, cosine FROM ranked WHERE rank <= 5
+"""
+
+_sqlq("cosine_topk_bruteforce", ["embeddings"], _COSINE_SPARK, _COSINE_DUCK)
+
+
+# Hyperplane-sign LSH buckets (scale path for ANN): 8 deterministic
+# pseudo-hyperplanes w(i,j) = ((i*(7j+3)) % 11) - 5 over 0-based dim i.
+def _ann_lsh_sql(flat_src: str) -> str:
+    projs = ",\n       ".join(
+        f"sum(cast(e as double) * cast(((i0 * {7 * j + 3}) % 11) - 5 as double)) AS p{j}"
+        for j in range(8)
+    )
+    bucket = " + ".join(f"(CASE WHEN p{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(8))
+    return f"""
+WITH flat AS ({flat_src}),
+proj AS (SELECT vec_id,
+       {projs}
+FROM flat GROUP BY vec_id)
+SELECT cast({bucket} as bigint) AS bucket, count(*) AS n_vectors
+FROM proj GROUP BY 1
+"""
+
+
+_sqlq("ann_lsh_buckets", ["embeddings"],
+      _ann_lsh_sql("SELECT vec_id, i AS i0, e FROM "
+                   "(SELECT vec_id, posexplode(embedding) AS (i, e) FROM embeddings)"),
+      _ann_lsh_sql("SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i0, "
+                   "unnest(embedding) AS e FROM embeddings"))
+
+
+_sqlq("multimodal_binary_meta", ["documents"], f"""
+SELECT doc_id,
+       cast(octet_length(text) as bigint) AS n_bytes,
+       64 + {_HEX4.replace('token', 'text')} AS fake_width,
+       32 + {_HEX4.replace("md5(token)", "md5('h:' || text)")} AS fake_height,
+       CASE WHEN octet_length(text) < 200 THEN 'small'
+            WHEN octet_length(text) < 400 THEN 'medium' ELSE 'large' END AS size_bucket
+FROM documents
+""", f"""
+SELECT doc_id,
+       cast(octet_length(encode(text)) as bigint) AS n_bytes,
+       64 + {_HEX4.replace('token', 'text')} AS fake_width,
+       32 + {_HEX4.replace("md5(token)", "md5('h:' || text)")} AS fake_height,
+       CASE WHEN octet_length(encode(text)) < 200 THEN 'small'
+            WHEN octet_length(encode(text)) < 400 THEN 'medium' ELSE 'large' END AS size_bucket
+FROM documents
+""")
+
+
+# ------------------------------------------------------------ the contract
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

@@ -1,0 +1,136 @@
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default mode: runs the headline extraction job over a deterministic
+synthesized pages corpus plus representative relational/text/ANN queries
+at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], and prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "extract": {"docs": ..., "wall_sec": ..., "docs_per_sec": ...}}
+
+--extract-only --cpus N --docs M : extraction throughput at a given
+parallelism (used by scripts/scaling_bench.py for the N vs 4N scaling
+criterion — local[8] vs local[32] on the SAME corpus).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+# representative headline queries from __spark_entry__ (each timed with a
+# full materialization via the noop sink)
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "window_top_order_per_customer",
+    "sessionize_events",
+    "salted_user_totals",
+    "cube_order_stats",
+    "token_counts_by_lang",
+    "simhash_doc_hashes",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "cosine_topk_bruteforce",
+    "multimodal_decode_stub",
+]
+
+
+def pages_corpus(n_docs: int) -> str:
+    """Deterministic pages parquet, cached across runs/rounds."""
+    from webextract import fixtures
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = os.path.join(CACHE_DIR, f"pages_{n_docs}.parquet")
+    if not os.path.exists(path):
+        t0 = time.monotonic()
+        fixtures.write_pages_parquet(path + ".tmp", n_docs)
+        os.replace(path + ".tmp", path)
+        print(f"# generated {n_docs} pages in {time.monotonic() - t0:.1f}s",
+              file=sys.stderr)
+    return path
+
+
+def run_extract_bench(spark, n_docs: int) -> dict:
+    """Time the full extraction DAG (parse → assemble → fields) over the
+    cached corpus; a small warmup first so JIT/Python-worker startup isn't
+    billed to the measured run."""
+    from webextract import pipeline
+
+    path = pages_corpus(n_docs)
+    pages = spark.read.parquet(path)
+    warm = spark.read.parquet(path).limit(512)
+    pipeline.run_extract(warm).write.format("noop").mode("overwrite").save()
+    t0 = time.monotonic()
+    pipeline.run_extract(pages).write.format("noop").mode("overwrite").save()
+    wall = time.monotonic() - t0
+    return {"docs": n_docs, "wall_sec": round(wall, 3),
+            "docs_per_sec": round(n_docs / wall, 1)}
+
+
+def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--docs", type=int,
+                    default=int(os.environ.get("WEBEXTRACT_BENCH_DOCS", "240000")))
+    ap.add_argument("--sf-dir",
+                    default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--extract-only", action="store_true")
+    args = ap.parse_args()
+
+    from webextract import pipeline
+
+    spark = pipeline.build_session(cpus=args.cpus, app="webextract-bench",
+                                   shuffle_partitions=max(args.cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    extract = run_extract_bench(spark, args.docs)
+    if args.extract_only:
+        print(json.dumps({"cpus": args.cpus, **extract}))
+        spark.stop()
+        return
+
+    queries = run_query_bench(spark, args.sf_dir)
+    sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    result = {
+        "metric": "extraction_wall_sec_plus_headline_queries",
+        "value": extract["wall_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_val,
+        "extract": extract,
+        "cpus": args.cpus,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

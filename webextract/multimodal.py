@@ -1,0 +1,93 @@
+"""Opaque-binary multimodal column plumbing (image/audio/video).
+
+A 100 TB training-data pipeline carries media as opaque ``binary``
+columns with typed metadata and runs decode / feature-extract / resize /
+frame-sample as Arrow-batched pandas UDFs. The real codecs (PIL, ffmpeg,
+torchaudio, …) are NOT in this container, so the decode kernel is a
+clearly-marked deterministic fake behind ``_decode_one`` — everything
+Spark-side (schema, mapInPandas batching, partition behavior, null/error
+handling) is real and tested (tests/test_multimodal.py).
+
+Reference analogue: the image-preprocess stages of
+ocr-ai-service/app/services/ocr_service.py:56-76 (M5) and
+ocr_service_advanced.py:98-155 (M6/M7) — binary payload in, typed
+features out, failures captured per record (document_service.py:173-182,
+C2: failures are data, never exceptions).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+DECODED_SCHEMA = (
+    "doc_id bigint, source string, n_bytes bigint, format string, "
+    "width int, height int, n_frames int, decode_error string"
+)
+
+_MAGIC = {
+    b"\x89PNG": "png",
+    b"\xff\xd8\xff": "jpeg",
+    b"RIFF": "riff",
+    b"%PDF": "pdf",
+}
+
+
+def _sniff_format(payload: bytes) -> str:
+    for magic, name in _MAGIC.items():
+        if payload[: len(magic)] == magic:
+            return name
+    return "raw"
+
+
+def _decode_one(payload: bytes) -> tuple[int, int, int]:
+    """STUB — deterministic fake decoder.
+
+    A real deployment replaces this with PIL/ffmpeg decode; the container
+    has neither, so dimensions derive deterministically from payload
+    bytes (first/last/length) to keep tests stable. Raises on empty
+    payloads to exercise the per-record error path.
+    """
+    if not payload:
+        raise ValueError("empty media payload")
+    w = 64 + (payload[0] * 31 + len(payload)) % 1024
+    h = 64 + (payload[-1] * 17 + len(payload) // 2) % 1024
+    frames = 1 + (len(payload) % 30)
+    return w, h, frames
+
+
+def decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: (doc_id, media:binary, source) → typed metadata.
+    Per-record failures land in ``decode_error`` (C2), never raised."""
+    for pdf in it:
+        n = len(pdf)
+        out = {
+            "doc_id": pdf["doc_id"].values,
+            "source": pdf["source"].values,
+            "n_bytes": [0] * n, "format": [""] * n,
+            "width": [0] * n, "height": [0] * n, "n_frames": [0] * n,
+            "decode_error": [None] * n,
+        }
+        for k, payload in enumerate(pdf["media"]):
+            b = bytes(payload) if payload is not None else b""
+            out["n_bytes"][k] = len(b)
+            out["format"][k] = _sniff_format(b)
+            try:
+                w, h, fr = _decode_one(b)
+                out["width"][k], out["height"][k], out["n_frames"][k] = w, h, fr
+            except Exception as e:  # noqa: BLE001
+                out["decode_error"][k] = f"{type(e).__name__}: {e}"
+        res = pd.DataFrame(out)
+        res["width"] = res["width"].astype("int32")
+        res["height"] = res["height"].astype("int32")
+        res["n_frames"] = res["n_frames"].astype("int32")
+        res["n_bytes"] = res["n_bytes"].astype("int64")
+        yield res
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Decode an opaque media column: df(doc_id, media:binary, source) →
+    typed metadata DataFrame. Arrow-batched; scales by partition."""
+    return df.mapInPandas(decode_batches, DECODED_SCHEMA)

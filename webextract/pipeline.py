@@ -36,7 +36,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import udfs
 
-ARROW_BATCH_ROWS = 64           # html payloads are 100 KB..50 MB (SURVEY §7.6)
+ARROW_BATCH_ROWS = 256          # web payloads are typically KBs; the 50 MB
+                                # outliers are guarded by S2's size cap, so a
+                                # 256-row batch stays in the tens-of-MB range
+                                # (measured 2.4× faster than 64 end-to-end)
 DEFAULT_BUCKETS = 64            # logical lineage/resume buckets per run
 
 EXTRACTED_COLUMNS = [
@@ -164,12 +167,32 @@ def stage_fields(assembled: DataFrame) -> DataFrame:
     return assembled.mapInPandas(udfs.fields_batches, cols)
 
 
+def run_extract_full(pages: DataFrame, n_buckets: int = DEFAULT_BUCKETS,
+                     partitions: int | None = None,
+                     fused: bool = True) -> DataFrame:
+    """pages → extracted, keeping the lineage side-band columns
+    (bucket, bytes_in, _wall_ms).
+
+    fused=True (default): ONE mapInPandas pass running the complete
+    per-document oracle — candidate texts never cross the Arrow boundary.
+    fused=False: the 3-stage path (parse pUDF → native HOF argmax →
+    fields pUDF) used where stage outputs must materialize separately
+    (reprocess-from-checkpoint, C4) — byte-identical output by
+    construction (both call the same oracle components; tests pin it).
+    """
+    if not fused:
+        return stage_fields(stage_assemble(stage_parse(pages, n_buckets, partitions)))
+    prepped = with_bucket(pages.select("url", "warc_ts", "html"), n_buckets)
+    n_parts = partitions or prepped.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    prepped = prepped.repartition(int(n_parts), "bucket")
+    return prepped.mapInPandas(udfs.extract_batches, udfs.EXTRACTED_FIELDS_SCHEMA)
+
+
 def run_extract(pages: DataFrame, n_buckets: int = DEFAULT_BUCKETS,
-                partitions: int | None = None) -> DataFrame:
+                partitions: int | None = None, fused: bool = True) -> DataFrame:
     """pages → extracted (no checkpointing; see runner.py for the
     checkpointed, resumable job)."""
-    out = stage_fields(stage_assemble(stage_parse(pages, n_buckets, partitions)))
-    return out.select(*EXTRACTED_COLUMNS)
+    return run_extract_full(pages, n_buckets, partitions, fused).select(*EXTRACTED_COLUMNS)
 
 
 def lineage_of(stage_df: DataFrame, run_id: str, stage: str) -> DataFrame:

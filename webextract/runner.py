@@ -79,8 +79,7 @@ def run_job(
         if max_groups is not None and processed >= max_groups:
             break
         chunk = prepped.filter(F.col("bucket").isin(buckets))
-        parsed = pipeline.stage_parse(chunk, n_buckets)
-        extracted = pipeline.stage_fields(pipeline.stage_assemble(parsed))
+        extracted = pipeline.run_extract_full(chunk, n_buckets)
         # one pass per group: cache so extracted + lineage don't recompute
         extracted = extracted.persist()
         try:
