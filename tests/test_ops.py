@@ -1,0 +1,58 @@
+"""Operator battery spot-check: a fast subset of __spark_entry__
+queries compared against their DuckDB oracles at sf0.001, using the same
+canonicalization the driver applies (sorted columns, order-insensitive
+row hash). The full 36-query sweep at sf0.01 runs via
+scripts/check_entry.py (and by the driver per-round)."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+FAST_QUERIES = [
+    "q1_pricing_summary",
+    "region_customer_rollup",
+    "window_top_order_per_customer",
+    "sessionize_events",
+    "cube_order_stats",
+    "salted_user_totals",
+    "token_counts_by_lang",
+    "minhash_signatures",
+    "simhash_doc_hashes",
+    "cosine_topk_bruteforce",
+    "multimodal_binary_meta",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in entry.TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _canon(df):
+    from scripts.check_entry import value_hash
+    return value_hash(df)
+
+
+@pytest.mark.parametrize("name", FAST_QUERIES)
+def test_query_matches_oracle(spark, duck, name):
+    sdf = entry.queries()[name](spark, SF_DIR).toPandas()
+    ddf = duck.sql(entry.oracle_sql()[name]).df()
+    assert _canon(sdf) == _canon(ddf)
+
+
+def test_every_query_has_callable_and_aliased_oracle():
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    assert len(qs) >= 40
+    assert set(oracles) <= set(qs)
+    # every oracle-less query is one of the documented non-SQL ops
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {
+        "extract_flagship", "extract_stats_cube", "extract_spans_lowconf",
+        "multimodal_decode_stub",
+    }

@@ -1,0 +1,74 @@
+"""Physical-plan assertions (SURVEY.md §4.2): the optimizations we rely
+on must actually appear in the plan, or a refactor can silently turn a
+column-pruned scan into a full-width read that only hurts at 100 TB.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import pyspark.sql.functions as F
+
+from webextract import pipeline
+
+
+def _explain(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_stage1_scan_prunes_wide_columns(spark, pages_parquet):
+    """The pages scan must read only (url, warc_ts, html) — the wide
+    ``text``/``lang`` input columns never leave the parquet reader."""
+    pages = spark.read.parquet(pages_parquet)
+    plan = _explain(pipeline.run_extract(pages))
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan, plan
+    schema_line = scan[0]
+    assert "url" in schema_line and "html" in schema_line
+    assert "lang" not in schema_line, schema_line
+    assert "text" not in schema_line, schema_line
+
+
+def test_url_filter_pushed_to_scan(spark, pages_parquet):
+    """P1 point lookup: the url predicate must reach the parquet source
+    (PushedFilters), enabling row-group / partition pruning at scale."""
+    pages = spark.read.parquet(pages_parquet)
+    df = pages.filter(F.col("url") == "https://archive00.example.org/x.html")
+    plan = _explain(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "url" in pushed[0], plan
+
+
+def test_fused_path_single_exchange(spark, pages_parquet):
+    """The fused extraction plan must contain exactly ONE shuffle (the
+    bucket repartition) — no accidental extra exchanges."""
+    pages = spark.read.parquet(pages_parquet)
+    plan = _explain(pipeline.run_extract(pages), "simple")
+    n_exchange = plan.count("Exchange")
+    assert n_exchange == 1, plan
+
+
+def test_broadcast_join_for_small_dims(spark):
+    """Dim-chain joins must broadcast the small side, not sort-merge."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["region_customer_rollup"](spark, "/root/testdata/sf0.001")
+    plan = _explain(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_native_agg_plan_shape(spark):
+    """Statistics aggregations stay fully JVM-side with map-side partial
+    aggregation before the exchange (no Python in the hot path, one
+    shuffle carrying pre-combined partials)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
+    plan = _explain(df, "simple")
+    assert "partial_sum" in plan, plan          # map-side combine
+    assert plan.count("Exchange") == 1, plan    # single shuffle
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual" in plan, plan
