@@ -542,19 +542,25 @@ WHERE substr(md5(text), 1, 1) IN ('0', '1', '2', '3')
 
 
 def _salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[§4.3 skew salting] two-phase salted aggregation — partial agg on
-    (user_id, salt), final re-agg on user_id. Decimal sums make the split
-    associative-exact, so the oracle is the plain one-phase groupBy."""
+    """[§4.3 skew salting] two-phase salted aggregation via
+    webextract.skew.salted_agg — partial agg on (key, salt), final re-agg
+    on key. Decimal sums make the split associative-exact, so the oracle
+    is the plain one-phase groupBy."""
     _prep(spark)
+    from webextract import skew
     e = _t(spark, sf_dir, "events")
-    salted = e.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(8)))
-    part = salted.groupBy("user_id", "salt").agg(
-        F.sum(F.col("value").cast("decimal(28,10)")).alias("ps"),
-        F.count("*").alias("pc"),
+    res = skew.salted_agg(
+        e, F.col("user_id"),
+        {
+            "total_d": ("sum", F.col("value").cast("decimal(28,10)")),
+            "n_events": ("count", "value"),
+        },
+        n_salts=8,
     )
-    return part.groupBy("user_id").agg(
-        F.round(F.sum("ps").cast("double"), 4).alias("total_value"),
-        F.sum("pc").alias("n_events"),
+    return res.select(
+        F.col("_key").alias("user_id"),
+        F.round(F.col("total_d").cast("double"), 4).alias("total_value"),
+        "n_events",
     )
 
 
@@ -856,6 +862,84 @@ SELECT doc_id,
             WHEN octet_length(encode(text)) < 400 THEN 'medium' ELSE 'large' END AS size_bucket
 FROM documents
 """)
+
+
+_sqlq("coalesce_first_match", ["documents"], """
+SELECT doc_id,
+       coalesce(nullif(regexp_extract(text, '([0-9]{2}/[0-9]{2}/[0-9]{4})', 1), ''),
+                nullif(regexp_extract(text, '([0-9]+)', 1), ''),
+                'none') AS first_match
+FROM documents
+""")
+
+
+# Embedding-cosine near-duplicate pairs (the exact-dedup complement of the
+# MinHash/SimHash text paths): all pairs above a cosine threshold (0.4 ≈
+# the 99.9th percentile of this corpus's pair similarities — the synthetic
+# embeddings have no true dups, so the threshold is set to surface the
+# closest tail rather than return an empty demo).
+def _near_dup_sql(flat_src: str) -> str:
+    return f"""
+WITH flat AS ({flat_src}),
+nrm AS (SELECT vec_id, sqrt(sum(cast(e as double) * cast(e as double))) AS n
+        FROM flat GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         sum(cast(a.e as double) * cast(b.e as double)) AS dot
+  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id)
+SELECT vec_a, vec_b, round(dot / (na.n * nb.n), 4) AS cosine
+FROM dots JOIN nrm na ON na.vec_id = vec_a JOIN nrm nb ON nb.vec_id = vec_b
+WHERE dot / (na.n * nb.n) >= 0.4
+"""
+
+
+_FLAT_SPARK = ("SELECT vec_id, i, e FROM "
+               "(SELECT vec_id, posexplode(embedding) AS (i, e) FROM embeddings)")
+_FLAT_DUCK = ("SELECT vec_id, generate_subscripts(embedding, 1) AS i, "
+              "unnest(embedding) AS e FROM embeddings")
+
+_sqlq("embedding_near_dup_pairs", ["embeddings"],
+      _near_dup_sql(_FLAT_SPARK), _near_dup_sql(_FLAT_DUCK))
+
+
+# IVF/LSH-bucketed ANN search — the scale path: each vector searches ONLY
+# its hyperplane-LSH bucket (candidates shrink from O(N) to O(N/buckets)),
+# then exact cosine ranks within the bucket; nearest neighbor per vector.
+def _ann_lsh_topk_sql(flat_src: str, zero_based_i: str) -> str:
+    projs = ",\n       ".join(
+        f"sum(cast(e as double) * cast((({zero_based_i} * {7 * j + 3}) % 11) - 5 as double)) AS p{j}"
+        for j in range(8)
+    )
+    bucket = " + ".join(f"(CASE WHEN p{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(8))
+    return f"""
+WITH flat AS ({flat_src}),
+nrm AS (SELECT vec_id, sqrt(sum(cast(e as double) * cast(e as double))) AS n
+        FROM flat GROUP BY vec_id),
+proj AS (SELECT vec_id,
+       {projs}
+FROM flat GROUP BY vec_id),
+bkt AS (SELECT vec_id, {bucket} AS bucket FROM proj),
+pairs AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS c_id
+  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+dots AS (
+  SELECT p.q_id, p.c_id, sum(cast(q.e as double) * cast(c.e as double)) AS dot
+  FROM pairs p JOIN flat q ON q.vec_id = p.q_id
+               JOIN flat c ON c.vec_id = p.c_id AND q.i = c.i
+  GROUP BY p.q_id, p.c_id),
+ranked AS (
+  SELECT q_id, c_id, round(dot / (nq.n * nc.n), 4) AS cosine,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY round(dot / (nq.n * nc.n), 4) DESC, c_id) AS rk
+  FROM dots JOIN nrm nq ON nq.vec_id = q_id JOIN nrm nc ON nc.vec_id = c_id)
+SELECT q_id, c_id AS neighbor_id, cosine FROM ranked WHERE rk = 1
+"""
+
+
+_sqlq("ann_lsh_topk", ["embeddings"],
+      _ann_lsh_topk_sql(_FLAT_SPARK, "i"),
+      _ann_lsh_topk_sql(_FLAT_DUCK, "(i - 1)"))
 
 
 # ------------------------------------------------------------ the contract

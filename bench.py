@@ -65,14 +65,20 @@ def run_extract_bench(spark, n_docs: int) -> dict:
     from webextract import pipeline
 
     path = pages_corpus(n_docs)
+    split = pipeline.tune_input_splits(spark, os.path.getsize(path))
     pages = spark.read.parquet(path)
     warm = spark.read.parquet(path).limit(512)
     pipeline.run_extract(warm).write.format("noop").mode("overwrite").save()
-    t0 = time.monotonic()
-    pipeline.run_extract(pages).write.format("noop").mode("overwrite").save()
-    wall = time.monotonic() - t0
+    repeats = int(os.environ.get("WEBEXTRACT_BENCH_REPEATS", "1"))
+    wall = float("inf")
+    for _ in range(max(1, repeats)):
+        t0 = time.monotonic()
+        pipeline.run_extract(pages).write.format("noop").mode("overwrite").save()
+        wall = min(wall, time.monotonic() - t0)  # best-of-N: this VM has
+        # noisy neighbors; interference only ever slows a run down
     return {"docs": n_docs, "wall_sec": round(wall, 3),
-            "docs_per_sec": round(n_docs / wall, 1)}
+            "docs_per_sec": round(n_docs / wall, 1),
+            "split_bytes": split}
 
 
 def run_query_bench(spark, sf_dir: str) -> dict[str, float]:

@@ -169,7 +169,8 @@ def stage_fields(assembled: DataFrame) -> DataFrame:
 
 def run_extract_full(pages: DataFrame, n_buckets: int = DEFAULT_BUCKETS,
                      partitions: int | None = None,
-                     fused: bool = True) -> DataFrame:
+                     fused: bool = True,
+                     repartition: bool = False) -> DataFrame:
     """pages → extracted, keeping the lineage side-band columns
     (bucket, bytes_in, _wall_ms).
 
@@ -179,20 +180,50 @@ def run_extract_full(pages: DataFrame, n_buckets: int = DEFAULT_BUCKETS,
     fields pUDF) used where stage outputs must materialize separately
     (reprocess-from-checkpoint, C4) — byte-identical output by
     construction (both call the same oracle components; tests pin it).
+
+    repartition=False (default): extraction runs DIRECTLY on the scan
+    partitions — zero shuffle. Extraction is row-local, so shuffling
+    payload bytes before it buys nothing and costs a full disk round-trip
+    of the input (at 100 TB, the single worst cost in the job; measured
+    1.5-2.5× end-to-end slowdown even at 240k docs). Parallelism comes
+    from input splits (tune_input_splits); skew cannot concentrate —
+    splits are uniform bytes. repartition=True restores the explicit
+    bucket shuffle for callers that need bucket-aligned output partitions
+    (the checkpointed runner's commit groups).
     """
     if not fused:
         return stage_fields(stage_assemble(stage_parse(pages, n_buckets, partitions)))
     prepped = with_bucket(pages.select("url", "warc_ts", "html"), n_buckets)
-    n_parts = partitions or prepped.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    prepped = prepped.repartition(int(n_parts), "bucket")
+    if repartition:
+        n_parts = partitions or prepped.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions")
+        prepped = prepped.repartition(int(n_parts), "bucket")
     return prepped.mapInPandas(udfs.extract_batches, udfs.EXTRACTED_FIELDS_SCHEMA)
 
 
 def run_extract(pages: DataFrame, n_buckets: int = DEFAULT_BUCKETS,
-                partitions: int | None = None, fused: bool = True) -> DataFrame:
+                partitions: int | None = None, fused: bool = True,
+                repartition: bool = False) -> DataFrame:
     """pages → extracted (no checkpointing; see runner.py for the
     checkpointed, resumable job)."""
-    return run_extract_full(pages, n_buckets, partitions, fused).select(*EXTRACTED_COLUMNS)
+    return run_extract_full(
+        pages, n_buckets, partitions, fused, repartition
+    ).select(*EXTRACTED_COLUMNS)
+
+
+def tune_input_splits(spark: SparkSession, input_bytes: int,
+                      cpus: int | None = None, waves: int = 5,
+                      floor_bytes: int = 1 << 20,
+                      cap_bytes: int = 128 << 20) -> int:
+    """Set spark.sql.files.maxPartitionBytes so the scan yields about
+    ``waves`` task waves per core — fine-grained enough that the last
+    wave can't idle most of the cluster (wave quantization: 44 tasks on
+    32 cores = 1.4 waves = ~30% idle time), coarse enough that per-task
+    overhead stays negligible. Call BEFORE spark.read of the input."""
+    n_cpus = cpus or int(spark.sparkContext.defaultParallelism)
+    target = max(floor_bytes, min(cap_bytes, input_bytes // max(1, n_cpus * waves)))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
+    return target
 
 
 def lineage_of(stage_df: DataFrame, run_id: str, stage: str) -> DataFrame:

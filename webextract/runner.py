@@ -79,7 +79,7 @@ def run_job(
         if max_groups is not None and processed >= max_groups:
             break
         chunk = prepped.filter(F.col("bucket").isin(buckets))
-        extracted = pipeline.run_extract_full(chunk, n_buckets)
+        extracted = pipeline.run_extract_full(chunk, n_buckets, repartition=True)
         # one pass per group: cache so extracted + lineage don't recompute
         extracted = extracted.persist()
         try:

@@ -11,7 +11,7 @@ host-like keys. Two mechanisms:
    shuffle spreads a hot key over ``n_salts`` reducers; the second merges
    ``n_salts`` tiny partials. Results are exactly equal to a direct
    groupBy (verified against a plain-SQL DuckDB oracle in
-   __spark_entry__.queries()['host_stats_salted']).
+   __spark_entry__.queries()['salted_user_totals']).
 
 2. ``hot_keys``: cheap sampled pre-agg to *detect* hot keys when salting
    should be selective (salt only hot keys, leave the long tail alone —
