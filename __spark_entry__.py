@@ -864,6 +864,45 @@ FROM documents
 """)
 
 
+# BPE-ish regex tokenizer (letter runs / digit runs / single punctuation)
+# vs the whitespace tokenizer — the brief's second token-counting mode.
+_sqlq("token_counts_regex", ["documents"], """
+SELECT doc_id,
+       cast(size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)) as bigint)
+         AS n_subtokens,
+       cast(size(regexp_extract_all(text, '[0-9]+', 0)) as bigint) AS n_number_runs
+FROM documents
+""", """
+SELECT doc_id,
+       cast(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)) as bigint)
+         AS n_subtokens,
+       cast(len(regexp_extract_all(text, '[0-9]+', 0)) as bigint) AS n_number_runs
+FROM documents
+""")
+
+
+# Winnowing-style rolling fingerprint: md5 over a sliding 32-char window
+# (stride 16), keep the k=2 lexicographic minima — robust to small edits,
+# the document-fingerprinting primitive for shingle-level dedup.
+_WINNOW_CORE = """
+WITH pos AS (
+  SELECT doc_id, text, {gen} AS p
+  FROM documents WHERE length(text) >= 32),
+grams AS (SELECT doc_id, md5(substr(text, p, 32)) AS g FROM pos),
+ranked AS (
+  SELECT doc_id, g,
+         row_number() OVER (PARTITION BY doc_id ORDER BY g) AS rk
+  FROM (SELECT DISTINCT doc_id, g FROM grams))
+SELECT doc_id, max(CASE WHEN rk = 1 THEN substr(g, 1, 16) END) AS fp1,
+       max(CASE WHEN rk = 2 THEN substr(g, 1, 16) END) AS fp2
+FROM ranked WHERE rk <= 2 GROUP BY doc_id
+"""
+
+_sqlq("winnow_fingerprints", ["documents"],
+      _WINNOW_CORE.format(gen="explode(sequence(1, length(text) - 31, 16))"),
+      _WINNOW_CORE.format(gen="unnest(generate_series(1, length(text) - 31, 16))"))
+
+
 _sqlq("coalesce_first_match", ["documents"], """
 SELECT doc_id,
        coalesce(nullif(regexp_extract(text, '([0-9]{2}/[0-9]{2}/[0-9]{4})', 1), ''),

@@ -69,7 +69,7 @@ def run_extract_bench(spark, n_docs: int) -> dict:
     pages = spark.read.parquet(path)
     warm = spark.read.parquet(path).limit(512)
     pipeline.run_extract(warm).write.format("noop").mode("overwrite").save()
-    repeats = int(os.environ.get("WEBEXTRACT_BENCH_REPEATS", "1"))
+    repeats = int(os.environ.get("WEBEXTRACT_BENCH_REPEATS", "2"))
     wall = float("inf")
     for _ in range(max(1, repeats)):
         t0 = time.monotonic()
