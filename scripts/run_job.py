@@ -1,0 +1,76 @@
+"""spark-submit entrypoint for the extraction job (north_rule contract).
+
+    python -m webextract ... is not used; ship the package explicitly:
+
+    zip=$(python -c "from webextract.pipeline import package_zip; print(package_zip())")
+    spark-submit --master local[32] --py-files "$zip" scripts/run_job.py \
+        --input /path/to/pages_parquet --output /path/to/out \
+        [--commit-groups 8] [--buckets 64] [--no-resume]
+
+Reads a pages table (url, warc_ts, html, text, lang), runs the resumable
+checkpointed extraction (webextract.runner.run_job), writes the extracted
++ lineage tables under --output via the parquet-manifest catalog, and
+prints a one-line JSON summary. Re-running with the same --output resumes
+from completed buckets (kill-safe); a finished job is a no-op.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--commit-groups", type=int, default=8)
+    ap.add_argument("--max-groups", type=int, default=None)
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args()
+
+    # under spark-submit the session already exists; standalone we build one
+    try:
+        from pyspark.sql import SparkSession
+        spark = SparkSession.getActiveSession()
+    except Exception:
+        spark = None
+    if spark is None:
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        from webextract import pipeline
+        spark = pipeline.build_session()
+    else:
+        from webextract import pipeline
+        pipeline.ship_package(spark)
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from webextract import pipeline, runner
+
+    size = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(args.input) for f in fs
+    ) if os.path.isdir(args.input) else os.path.getsize(args.input)
+    pipeline.tune_input_splits(spark, size)
+
+    pages = spark.read.parquet(args.input)
+    t0 = time.monotonic()
+    out = runner.run_job(
+        spark, pages, args.output,
+        n_buckets=args.buckets, commit_groups=args.commit_groups,
+        max_groups=args.max_groups, resume=not args.no_resume,
+    )
+    n = out.count()
+    ok = out.filter(out.status == "COMPLETED").count()
+    print(json.dumps({
+        "rows": n, "completed": ok, "failed": n - ok,
+        "wall_sec": round(time.monotonic() - t0, 2), "output": args.output,
+    }))
+
+
+if __name__ == "__main__":
+    main()
