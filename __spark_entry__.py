@@ -680,7 +680,7 @@ SELECT doc_id,
        substr(min(md5('1:' || token)), 1, 12) AS h1,
        substr(min(md5('2:' || token)), 1, 12) AS h2,
        substr(min(md5('3:' || token)), 1, 12) AS h3
-FROM ({tok}) GROUP BY doc_id
+FROM (SELECT DISTINCT doc_id, token FROM ({tok})) GROUP BY doc_id
 """
 
 _sqlq("minhash_signatures", ["documents"],

@@ -51,9 +51,14 @@ HEADING_TAGS = frozenset(["h1", "h2", "h3", "h4", "h5", "h6"])
 PROFILES = (("strict", 0.3, 25), ("lenient", 0.5, 10))
 
 _WS_RE = re.compile(r"\s+")
+# matches iff sub(' ')+strip would change s: leading/trailing space, a run
+# of 2+ whitespace, or any whitespace char that isn't a plain ' '
+_WS_DIRTY_RE = re.compile(r"^\s|\s$|\s{2}|[^\S ]")
 
 
 def _collapse(s: str) -> str:
+    if _WS_DIRTY_RE.search(s) is None:  # fast path: already collapsed
+        return s
     return _WS_RE.sub(" ", s).strip()
 
 

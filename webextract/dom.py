@@ -62,6 +62,8 @@ def _entity_sub(m: re.Match) -> str:
 
 
 def decode_entities(s: str) -> str:
+    if "&" not in s:  # fast path: most segments carry no entities
+        return s
     return _ENTITY_RE.sub(_entity_sub, s)
 
 
@@ -115,6 +117,7 @@ def parse_html(payload: bytes) -> Dom:
     dom = Dom()
     stack: list[int] = [0]  # open-element node indices, root always open
     anchor_depth = 0
+    low: str | None = None  # lazily-built lowercase copy for rawtext scans
     i = 0
     while i < n:
         lt = s.find("<", i)
@@ -161,27 +164,32 @@ def parse_html(payload: bytes) -> Dom:
             i = lt + 1
             continue
         name = m.group(0).lower()
-        # scan attributes respecting quotes, find the real '>'
+        # scan attributes respecting quotes, find the real '>' — jump
+        # between delimiters with C-speed str.find instead of per-char
         j = m.end()
         self_close = False
         while j < n:
-            ch = s[j]
-            if ch == ">":
-                self_close = s[j - 1] == "/"
-                j += 1
+            gt = s.find(">", j)
+            if gt == -1:
+                j = n
                 break
-            if ch in "\"'":
-                q = s.find(ch, j + 1)
-                j = n if q == -1 else q + 1
-                continue
-            j += 1
+            dq = s.find('"', j, gt)
+            sq = s.find("'", j, gt)
+            if dq == -1 and sq == -1:
+                self_close = s[gt - 1] == "/"
+                j = gt + 1
+                break
+            p = dq if sq == -1 else (sq if dq == -1 else min(dq, sq))
+            q = s.find(s[p], p + 1)
+            j = n if q == -1 else q + 1
         node = len(dom.tag)
         dom.parent.append(stack[-1])
         dom.tag.append(name)
         i = j
         if name in RAWTEXT_ELEMENTS and not self_close:
             # raw-text mode: content is NOT document text — skip to close tag
-            low = s.lower()
+            if low is None:
+                low = s.lower()
             end = low.find("</" + name, i)
             if end == -1:
                 break
