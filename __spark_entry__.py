@@ -422,6 +422,15 @@ GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """)
 
 
+_sqlq("rollup_order_dates", ["orders"], f"""
+SELECT y, m, grouping(y) AS g_y, grouping(m) AS g_m,
+       count(*) AS n_orders, {_dsum('tp')} AS total_price
+FROM (SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+             o_totalprice AS tp FROM orders)
+GROUP BY ROLLUP(y, m)
+""")
+
+
 _sqlq("pagination_orders", ["orders"], """
 SELECT o_orderkey, date_format(o_orderdate, 'yyyy-MM-dd') AS order_date, o_totalprice
 FROM orders ORDER BY o_orderdate DESC, o_orderkey LIMIT 20 OFFSET 40

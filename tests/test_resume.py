@@ -54,6 +54,24 @@ def test_idempotent_rerun(spark, pages_parquet, tmp_path):
     assert again.count() == n1  # no duplicate appends
 
 
+def test_reprocess_from_parse_checkpoint(spark, pages_parquet, tmp_path):
+    """C4: staged run materializes the parse stage; reprocess derives a
+    new extracted table from the checkpoint WITHOUT re-reading payloads,
+    and (with an unchanged registry) reproduces the original exactly."""
+    pages = _pages(spark, pages_parquet)
+    out = str(tmp_path / "staged")
+    first = runner.run_job_staged(spark, pages, out)
+    want = _final(first)
+    assert len(want) == N
+
+    redone = runner.reprocess_fields(spark, out)
+    assert _final(redone) == want
+
+    lin = Catalog(out).read(spark, runner.LINEAGE_TABLE)
+    stages = {r["stage"] for r in lin.select("stage").distinct().collect()}
+    assert stages == {"final", "reprocess"}
+
+
 def test_lineage_counters(spark, pages_parquet, tmp_path):
     pages = _pages(spark, pages_parquet)
     out = str(tmp_path / "lin")

@@ -97,6 +97,65 @@ def run_job(
     return out
 
 
+PARSED_TABLE = "ckpt_parsed"
+
+
+def run_job_staged(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_root: str,
+    run_id: str | None = None,
+    n_buckets: int = pipeline.DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Staged variant of run_job: materializes the parse stage (the
+    expensive payload-touching pass) to the checkpoint catalog, then
+    derives extracted from it. Enables C4-style reprocessing: a changed
+    field registry re-runs ONLY assemble+fields from ``ckpt_parsed``,
+    never re-reading/re-parsing payloads (reference analogue:
+    reprocess-with-cached-OCR, document_service.py:253-282)."""
+    run_id = run_id or pipeline.new_run_id()
+    catalog = Catalog(out_root)
+    parsed = pipeline.stage_parse(pages, n_buckets).persist()
+    try:
+        catalog.append(PARSED_TABLE, parsed)
+        extracted = pipeline.stage_fields(pipeline.stage_assemble(parsed)).persist()
+        try:
+            catalog.append(EXTRACTED_TABLE,
+                           extracted.select(*pipeline.EXTRACTED_COLUMNS))
+            catalog.append(LINEAGE_TABLE,
+                           pipeline.lineage_of(extracted, run_id, "final"))
+        finally:
+            extracted.unpersist()
+    finally:
+        parsed.unpersist()
+    return catalog.read(spark, EXTRACTED_TABLE)
+
+
+def reprocess_fields(
+    spark: SparkSession,
+    out_root: str,
+    out_table: str = "extracted_v2",
+    run_id: str | None = None,
+    version: int | None = None,
+) -> DataFrame:
+    """Re-run assemble+fields from the checkpointed parse output (pinned
+    to a catalog snapshot) — zero payload re-reads. Returns the new
+    extracted table; writes it + lineage under ``out_table``."""
+    run_id = run_id or pipeline.new_run_id()
+    catalog = Catalog(out_root)
+    parsed = catalog.read(spark, PARSED_TABLE, version=version)
+    if parsed is None:
+        raise ValueError(f"no {PARSED_TABLE} checkpoint under {out_root}")
+    extracted = pipeline.stage_fields(pipeline.stage_assemble(parsed)).persist()
+    try:
+        catalog.append(out_table, extracted.select(*pipeline.EXTRACTED_COLUMNS))
+        catalog.append(LINEAGE_TABLE,
+                       pipeline.lineage_of(extracted, run_id, "reprocess"))
+    finally:
+        extracted.unpersist()
+    return catalog.read(spark, out_table)
+
+
 def pipeline_schema(spark: SparkSession):
     from .udfs import BLOCK_T, SPAN_T
 
