@@ -188,6 +188,32 @@ def _multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_media(docs)
 
 
+def _multimodal_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[multimodal] decode (pandas-UDF stub kernel) → deterministic
+    frame sampling (pure Catalyst sequence+explode). Oracle-checkable end
+    to end because the stub's n_frames = 1 + n_bytes % 30 is
+    SQL-expressible — the plumbing contract, not the fake codec, is what
+    the oracle pins."""
+    _prep(spark)
+    from webextract import multimodal, pipeline
+    pipeline.ship_package(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("media"), "source")
+    frames = multimodal.sample_frames(multimodal.decode_media(docs), every_nth=5)
+    return frames.select(
+        "doc_id", F.col("frame_index").cast("bigint").alias("frame_index"),
+        F.col("frame_ts_ms"))
+
+
+_register("multimodal_frame_sampling", _multimodal_frame_sampling, """
+SELECT doc_id, cast(frame_index as bigint) AS frame_index,
+       cast(frame_index * 40.0 as double) AS frame_ts_ms
+FROM (SELECT doc_id, unnest(range(0, 1 + octet_length(encode(text)) % 30, 5))
+             AS frame_index
+      FROM documents)
+""")
+
+
 _register("extract_flagship", _extract_flagship)          # rows-only gate
 _register("extract_stats_cube", _extract_stats_cube)      # rows-only gate
 _register("extract_spans_lowconf", _extract_spans_lowconf)  # rows-only gate

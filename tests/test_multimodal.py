@@ -45,6 +45,34 @@ def test_decode_failures_are_data(spark):
     assert ok == 4
 
 
+def test_resize_plan_dims(spark):
+    decoded = multimodal.decode_media(_media_df(spark))
+    planned = multimodal.resize_plan(decoded, max_side=256)
+    for r in planned.filter(F.col("decode_error").isNull()).collect():
+        assert max(r["out_width"], r["out_height"]) <= 256
+        assert r["out_width"] >= 1 and r["out_height"] >= 1
+        if max(r["width"], r["height"]) <= 256:
+            assert (r["out_width"], r["out_height"]) == (r["width"], r["height"])
+        else:  # floor(dim * scale) with the same scale on both axes
+            assert 0 <= r["width"] * r["scale"] - r["out_width"] < 1
+            assert 0 <= r["height"] * r["scale"] - r["out_height"] < 1
+
+
+def test_sample_frames_deterministic(spark):
+    decoded = multimodal.decode_media(_media_df(spark))
+    frames = multimodal.sample_frames(decoded, every_nth=3)
+    rows = frames.collect()
+    assert rows, "no frames sampled"
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_index"])
+        assert r["frame_ts_ms"] == r["frame_index"] * 40.0
+    for doc, idxs in by_doc.items():
+        assert sorted(idxs) == list(range(0, max(idxs) + 1, 3))
+    again = {tuple(sorted((r["doc_id"], r["frame_index"]) for r in frames.collect()))}
+    assert again == {tuple(sorted((r["doc_id"], r["frame_index"]) for r in rows))}
+
+
 def test_decode_partition_independence(spark):
     df = _media_df(spark)
     one = {r["doc_id"]: r for r in multimodal.decode_media(df.coalesce(1)).collect()}

@@ -91,3 +91,49 @@ def decode_media(df: DataFrame) -> DataFrame:
     """Decode an opaque media column: df(doc_id, media:binary, source) →
     typed metadata DataFrame. Arrow-batched; scales by partition."""
     return df.mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+# --------------------------------------------------- resize / frame-sample
+
+RESIZED_SCHEMA = DECODED_SCHEMA + ", out_width int, out_height int, scale double"
+
+
+def resize_plan(decoded: DataFrame, max_side: int = 512) -> DataFrame:
+    """Resize planning is pure Catalyst — no Python: compute the target
+    dims that fit ``max_side`` preserving aspect ratio. (The pixel
+    resample itself would live in the decode kernel; dimension math is
+    metadata and stays JVM-side, exactly like any production thumbnailer
+    pipeline splits plan vs execute.)"""
+    import pyspark.sql.functions as F
+
+    scale = F.when(
+        F.greatest("width", "height") > max_side,
+        F.lit(max_side) / F.greatest("width", "height").cast("double"),
+    ).otherwise(F.lit(1.0))
+    return decoded.withColumn("scale", scale).withColumn(
+        "out_width", F.greatest(F.floor(F.col("width") * F.col("scale")), F.lit(1)).cast("int")
+    ).withColumn(
+        "out_height", F.greatest(F.floor(F.col("height") * F.col("scale")), F.lit(1)).cast("int")
+    )
+
+
+FRAMES_SCHEMA = "doc_id bigint, frame_index int, frame_ts_ms double"
+
+
+def sample_frames(decoded: DataFrame, every_nth: int = 5) -> DataFrame:
+    """Deterministic frame sampling for video-like media: keep frames
+    0, n, 2n, … of ``n_frames`` (assumed 25 fps for timestamps). Pure
+    Catalyst: sequence + explode — one output row per kept frame, no
+    Python. On a real decoder the frame payload extraction would join
+    back into the decode kernel by (doc_id, frame_index)."""
+    import pyspark.sql.functions as F
+
+    idx = F.explode(
+        F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)),
+                   F.lit(every_nth))
+    ).alias("frame_index")
+    return (
+        decoded.filter(F.col("decode_error").isNull() & (F.col("n_frames") > 0))
+        .select("doc_id", idx)
+        .withColumn("frame_ts_ms", F.col("frame_index") * (1000.0 / 25.0))
+    )
