@@ -761,6 +761,40 @@ _sqlq("jaccard_similar_pairs", ["documents"],
       _JACCARD_CORE.format(tok=_DUCK_TOK_NE))
 
 
+# Duplicate-cluster labeling: k-bounded min-label propagation over the
+# LSH candidate-pair graph (connected components unrolled to 3 rounds —
+# iterative algorithms land in Spark as bounded join chains; both engines
+# compute the identical k-bounded fixpoint, so parity holds even for
+# clusters whose diameter exceeds k).
+_CLUSTER_CORE = """
+WITH sig AS ({core}),
+keys AS (SELECT doc_id, h0 || h1 || h2 || h3 AS bkey FROM sig),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM keys x JOIN keys y
+    ON x.bkey = y.bkey AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id),
+edges AS (
+  SELECT a, b FROM pairs
+  UNION ALL SELECT b AS a, a AS b FROM pairs
+  UNION ALL SELECT DISTINCT a, a AS b FROM
+    (SELECT a FROM pairs UNION ALL SELECT b AS a FROM pairs)),
+l0 AS (SELECT DISTINCT a AS doc_id, a AS lbl FROM edges),
+l1 AS (SELECT e.a AS doc_id, min(l0.lbl) AS lbl
+       FROM edges e JOIN l0 ON l0.doc_id = e.b GROUP BY e.a),
+l2 AS (SELECT e.a AS doc_id, min(l1.lbl) AS lbl
+       FROM edges e JOIN l1 ON l1.doc_id = e.b GROUP BY e.a),
+l3 AS (SELECT e.a AS doc_id, min(l2.lbl) AS lbl
+       FROM edges e JOIN l2 ON l2.doc_id = e.b GROUP BY e.a)
+SELECT lbl AS cluster_id, count(*) AS n_members, min(doc_id) AS keep_doc_id
+FROM l3 GROUP BY lbl
+"""
+
+_sqlq("dedup_clusters_bounded", ["documents"],
+      _CLUSTER_CORE.format(core=_MINHASH_CORE.format(tok=_SPARK_TOK)),
+      _CLUSTER_CORE.format(core=_MINHASH_CORE.format(tok=_DUCK_TOK_NE)))
+
+
 # SimHash (16-bit) over distinct tokens; token hash = first 4 hex chars of
 # md5 decoded via instr('0123456789abcdef', ...) — identical text in both
 # dialects; only the bit-shift operator differs.
