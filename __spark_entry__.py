@@ -795,6 +795,41 @@ _sqlq("dedup_clusters_bounded", ["documents"],
       _CLUSTER_CORE.format(core=_MINHASH_CORE.format(tok=_DUCK_TOK_NE)))
 
 
+# The scalable dedup pipeline: LSH banding proposes candidates (recall
+# stage, O(collisions)), exact token-set Jaccard verifies ONLY those
+# pairs (precision stage) — never the O(n²) all-pairs join that
+# jaccard_similar_pairs (the small-sf exact baseline) performs.
+_LSH_JACCARD_CORE = """
+WITH sig AS ({core}),
+bands AS (
+  SELECT doc_id, 0 AS band, h0 || h1 AS bkey FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, h2 || h3 AS bkey FROM sig),
+cand AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+  HAVING count(*) = 2),
+tok AS (SELECT DISTINCT doc_id, token FROM ({tok})),
+cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c JOIN tok a ON a.doc_id = c.doc_a
+              JOIN tok b ON b.doc_id = c.doc_b AND b.token = a.token
+  GROUP BY c.doc_a, c.doc_b)
+SELECT doc_a, doc_b, round(i / cast(ca.n + cb.n - i as double), 4) AS jaccard
+FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+WHERE i / cast(ca.n + cb.n - i as double) >= 0.7
+"""
+
+_sqlq("lsh_jaccard_verified", ["documents"],
+      _LSH_JACCARD_CORE.format(core=_MINHASH_CORE.format(tok=_SPARK_TOK),
+                               tok=_SPARK_TOK),
+      _LSH_JACCARD_CORE.format(core=_MINHASH_CORE.format(tok=_DUCK_TOK_NE),
+                               tok=_DUCK_TOK_NE))
+
+
 # SimHash (16-bit) over distinct tokens; token hash = first 4 hex chars of
 # md5 decoded via instr('0123456789abcdef', ...) — identical text in both
 # dialects; only the bit-shift operator differs.

@@ -38,7 +38,9 @@ BENCH_QUERIES = [
     "simhash_doc_hashes",
     "minhash_signatures",
     "lsh_candidate_pairs",
+    "dedup_clusters_bounded",
     "cosine_topk_bruteforce",
+    "ann_lsh_topk",
     "multimodal_decode_stub",
 ]
 

@@ -34,6 +34,13 @@ _ESCAPES = {
 COLUMN_GAP = 120.0   # min x gap (pts) splitting two columns
 LINE_TOL = 2.0       # same-baseline tolerance (pts)
 
+# position-anchored token patterns (match(content, pos) — no per-token
+# buffer slicing, keeps the tokenizer linear in stream size)
+_NAME_RE = re.compile(rb"/[^\s\[\]()<>/]*")
+_NUM_RE = re.compile(rb"[+-]?(\d+\.?\d*|\.\d+)")
+_OP_RE = re.compile(rb"[A-Za-z'\"*]+")
+_OCTAL_RE = re.compile(rb"[0-7]{1,3}")
+
 
 def _objects(data: bytes) -> dict[int, bytes]:
     """Scan ``N 0 obj ... endobj`` bodies. Tolerates a missing/garbled xref
@@ -129,19 +136,19 @@ def _tokens(content: bytes):
             i += 1
             continue
         if c == b"/":
-            m = re.match(rb"/[^\s\[\]()<>/]*", content[i:])
+            m = _NAME_RE.match(content, i)
             yield ("name", m.group(0).decode("latin-1"))
-            i += len(m.group(0))
+            i = m.end()
             continue
-        m = re.match(rb"[+-]?(\d+\.?\d*|\.\d+)", content[i:])
+        m = _NUM_RE.match(content, i)
         if m:
             yield ("num", float(m.group(0)))
-            i += len(m.group(0))
+            i = m.end()
             continue
-        m = re.match(rb"[A-Za-z'\"*]+", content[i:])
+        m = _OP_RE.match(content, i)
         if m:
             yield ("op", m.group(0).decode("latin-1"))
-            i += len(m.group(0))
+            i = m.end()
             continue
         i += 1  # unknown byte: skip, stay deterministic
 
@@ -157,9 +164,9 @@ def _string(content: bytes, i: int) -> tuple[str, int]:
         if c == b"\\":
             nxt = content[i + 1:i + 2]
             if nxt.isdigit():  # octal escape \ddd
-                m = re.match(rb"[0-7]{1,3}", content[i + 1:])
+                m = _OCTAL_RE.match(content, i + 1)
                 out.append(chr(int(m.group(0), 8)))
-                i += 1 + len(m.group(0))
+                i = m.end()
                 continue
             out.append(_ESCAPES.get(nxt, nxt.decode("latin-1")))
             i += 2
