@@ -24,10 +24,17 @@ Operator ↔ SURVEY §2 cross-references are given per query as  [A1] etc.
 from __future__ import annotations
 
 import datetime as dt
+import os
+import sys
 from collections.abc import Callable
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
+
+# importable regardless of the caller's cwd (webextract lives beside us)
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -214,9 +221,24 @@ FROM (SELECT doc_id, unnest(range(0, 1 + octet_length(encode(text)) % 30, 5))
 """)
 
 
+def _extract_pdf_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S4/O7/P2/J1] the PDF path in isolation: fixture PDF payloads →
+    per-page blocks exploded (page order = reading order from the
+    from-scratch text-run parser). Rows-only; byte-level parity is pinned
+    by the golden suite."""
+    ext = _extract_flagship(spark, sf_dir)
+    pdfs = ext.filter(F.col("url").endswith(".pdf") & (F.col("status") == "COMPLETED"))
+    b = pdfs.select("url", "n_pages", F.explode("blocks").alias("b"))
+    return b.select(
+        "url", "n_pages", F.col("b.page").alias("page"),
+        F.col("b.n_chars").alias("page_chars"),
+    )
+
+
 _register("extract_flagship", _extract_flagship)          # rows-only gate
 _register("extract_stats_cube", _extract_stats_cube)      # rows-only gate
 _register("extract_spans_lowconf", _extract_spans_lowconf)  # rows-only gate
+_register("extract_pdf_pages", _extract_pdf_pages)        # rows-only gate
 _register("multimodal_decode_stub", _multimodal_decode_stub)  # rows-only
 
 

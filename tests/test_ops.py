@@ -54,5 +54,5 @@ def test_every_query_has_callable_and_aliased_oracle():
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
         "extract_flagship", "extract_stats_cube", "extract_spans_lowconf",
-        "multimodal_decode_stub",
+        "extract_pdf_pages", "multimodal_decode_stub",
     }
