@@ -53,6 +53,16 @@ def test_fused_path_zero_exchange(spark, pages_parquet):
     assert plan_r.count("Exchange") == 1, plan_r
 
 
+def test_layout_by_url_range_partitions(spark, pages_parquet):
+    """The write layout shuffles extracted ROWS (text-sized) by url range
+    — RangePartitioning in the plan — never the input payloads."""
+    pages = spark.read.parquet(pages_parquet)
+    df = pipeline.layout_by_url(pipeline.run_extract(pages), n_files=4)
+    plan = _explain(df, "simple")
+    assert "rangepartitioning(url" in plan.lower(), plan
+    assert "Sort [url" in plan, plan
+
+
 def test_broadcast_join_for_small_dims(spark):
     """Dim-chain joins must broadcast the small side, not sort-merge."""
     import __spark_entry__ as entry

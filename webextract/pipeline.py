@@ -211,6 +211,17 @@ def run_extract(pages: DataFrame, n_buckets: int = DEFAULT_BUCKETS,
     ).select(*EXTRACTED_COLUMNS)
 
 
+def layout_by_url(extracted: DataFrame, n_files: int | None = None) -> DataFrame:
+    """Output layout for the extracted table: range-partition by url and
+    sort within partitions (north_star: "bounds shuffle via
+    repartitionByRange on url"). This is the ONE place the extracted rows
+    shuffle — after extraction, when rows are text-sized, never payloads.
+    It buys Iceberg/parquet min-max pruning for P1 point lookups and
+    url-prefix scans: each output file owns a contiguous url range."""
+    n = n_files or int(extracted.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return extracted.repartitionByRange(n, "url").sortWithinPartitions("url")
+
+
 def tune_input_splits(spark: SparkSession, input_bytes: int,
                       cpus: int | None = None, waves: int = 5,
                       floor_bytes: int = 1 << 20,

@@ -50,10 +50,13 @@ def run_job(
     commit_groups: int = 8,
     max_groups: int | None = None,
     resume: bool = True,
+    sorted_layout: bool = False,
 ) -> DataFrame:
     """Run (or resume) the extraction job; returns the full extracted
     table as of the last commit. ``max_groups`` limits how many commit
-    groups this invocation processes (test hook simulating a kill)."""
+    groups this invocation processes (test hook simulating a kill).
+    ``sorted_layout`` range-partitions each commit's output by url
+    (pipeline.layout_by_url) for point-lookup/min-max pruning."""
     run_id = run_id or pipeline.new_run_id()
     catalog = Catalog(out_root)
     done = completed_buckets(spark, catalog) if resume else set()
@@ -83,7 +86,10 @@ def run_job(
         # one pass per group: cache so extracted + lineage don't recompute
         extracted = extracted.persist()
         try:
-            catalog.append(EXTRACTED_TABLE, extracted.select(*pipeline.EXTRACTED_COLUMNS))
+            out_rows = extracted.select(*pipeline.EXTRACTED_COLUMNS)
+            if sorted_layout:
+                out_rows = pipeline.layout_by_url(out_rows)
+            catalog.append(EXTRACTED_TABLE, out_rows)
             catalog.append(
                 LINEAGE_TABLE, pipeline.lineage_of(extracted, run_id, "final")
             )
