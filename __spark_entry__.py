@@ -235,6 +235,20 @@ def _extract_pdf_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multimodal_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[multimodal feature-extract] binary media → 8-dim L1-normalized
+    byte-histogram feature vector (numpy per Arrow batch) — the
+    embedding-generation stage; output shape feeds the ANN operators."""
+    _prep(spark)
+    from webextract import multimodal, pipeline
+    pipeline.ship_package(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("media"))
+    return multimodal.extract_features(docs)
+
+
+_register("multimodal_features_stub", _multimodal_features_stub)  # rows-only
+
 _register("extract_flagship", _extract_flagship)          # rows-only gate
 _register("extract_stats_cube", _extract_stats_cube)      # rows-only gate
 _register("extract_spans_lowconf", _extract_spans_lowconf)  # rows-only gate
@@ -685,23 +699,66 @@ FROM (SELECT doc_id, lang,
 """)
 
 
-_sqlq("doc_quality_scores", ["documents"], """
+_PUNCT_COUNT = ("(length(text) - length(replace(text, '.', ''))) + "
+                "(length(text) - length(replace(text, ',', ''))) + "
+                "(length(text) - length(replace(text, '!', ''))) + "
+                "(length(text) - length(replace(text, '?', '')))")
+
+_QUALITY_EXTRA = f"""
+       round(cast({_PUNCT_COUNT} as double) / n_chars, 4) AS punct_ratio,
+       round(0.4 * least(1.0, n_chars / 500.0)
+             + 0.3 * (1.0 - REP_EXPR)
+             + 0.3 * (1.0 - least(1.0, 10.0 * cast({_PUNCT_COUNT} as double) / n_chars)), 6)
+         AS quality_score
+"""
+
+_REP_SPARK = ("cast(size(array_distinct(filter(split(text, ' '), x -> x <> ''))) as double)"
+              " / size(filter(split(text, ' '), x -> x <> ''))")
+_REP_DUCK = ("cast(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) as double)"
+             " / len(list_filter(string_split(text, ' '), x -> x <> ''))")
+
+_sqlq("doc_quality_scores", ["documents"], f"""
 SELECT doc_id, n_chars,
        cast(size(filter(split(text, ' '), x -> x <> '')) as bigint) AS n_tokens,
        cast(size(array_distinct(filter(split(text, ' '), x -> x <> ''))) as bigint) AS n_distinct_tokens,
        round(cast(n_chars as double) / size(filter(split(text, ' '), x -> x <> '')), 4) AS chars_per_token,
-       round(1.0 - cast(size(array_distinct(filter(split(text, ' '), x -> x <> ''))) as double)
-                   / size(filter(split(text, ' '), x -> x <> '')), 4) AS repetition_ratio
+       round(1.0 - {_REP_SPARK}, 4) AS repetition_ratio,
+{_QUALITY_EXTRA.replace("REP_EXPR", f"(1.0 - {_REP_SPARK})")}
 FROM documents
-""", """
+""", f"""
 SELECT doc_id, n_chars,
        cast(len(list_filter(string_split(text, ' '), x -> x <> '')) as bigint) AS n_tokens,
        cast(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) as bigint) AS n_distinct_tokens,
        round(cast(n_chars as double) / len(list_filter(string_split(text, ' '), x -> x <> '')), 4) AS chars_per_token,
-       round(1.0 - cast(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) as double)
-                   / len(list_filter(string_split(text, ' '), x -> x <> '')), 4) AS repetition_ratio
+       round(1.0 - {_REP_DUCK}, 4) AS repetition_ratio,
+{_QUALITY_EXTRA.replace("REP_EXPR", f"(1.0 - {_REP_DUCK})")}
 FROM documents
 """)
+
+
+# char-bigram n-gram language ID (the heuristic the brief names; the
+# stopword variant above is the word-level counterpart). Bigram counts
+# via the length/replace trick — identical SQL in both dialects.
+def _bigram_count(g: str) -> str:
+    return f"cast((length(text) - length(replace(text, '{g}', ''))) / 2 as bigint)"
+
+
+_EN_BIGRAMS = ["th", "he", "in", "er", "an"]
+_VI_BIGRAMS = ["ng", "nh", "ch", "uy", "ph"]
+
+_LANG_NGRAM_SQL = f"""
+SELECT doc_id, lang,
+       {" + ".join(_bigram_count(g) for g in _EN_BIGRAMS)} AS en_bigrams,
+       {" + ".join(_bigram_count(g) for g in _VI_BIGRAMS)} AS vi_bigrams,
+       CASE WHEN {" + ".join(_bigram_count(g) for g in _EN_BIGRAMS)}
+              > {" + ".join(_bigram_count(g) for g in _VI_BIGRAMS)} THEN 'en'
+            WHEN {" + ".join(_bigram_count(g) for g in _VI_BIGRAMS)}
+              > {" + ".join(_bigram_count(g) for g in _EN_BIGRAMS)} THEN 'vi'
+            ELSE 'und' END AS pred_lang
+FROM documents
+"""
+
+_sqlq("lang_id_char_ngrams", ["documents"], _LANG_NGRAM_SQL)
 
 
 _sqlq("doc_fingerprints", ["documents"], f"""

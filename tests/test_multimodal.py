@@ -73,6 +73,23 @@ def test_sample_frames_deterministic(spark):
     assert again == {tuple(sorted((r["doc_id"], r["frame_index"]) for r in rows))}
 
 
+def test_feature_extract(spark):
+    feats = multimodal.extract_features(
+        _media_df(spark).select("doc_id", "media"))
+    rows = {r["doc_id"]: r for r in feats.collect()}
+    assert len(rows) == 6
+    for doc, r in rows.items():
+        assert len(r["features"]) == 8
+        if doc in (4, 5):  # null/empty payloads → zero vector
+            assert all(x == 0.0 for x in r["features"])
+        else:
+            assert abs(sum(r["features"]) - 1.0) < 1e-5  # L1-normalized
+            assert r["feat_norm"] > 0
+    again = {r["doc_id"]: list(r["features"]) for r in multimodal.extract_features(
+        _media_df(spark).select("doc_id", "media")).collect()}
+    assert again == {d: list(r["features"]) for d, r in rows.items()}
+
+
 def test_decode_partition_independence(spark):
     df = _media_df(spark)
     one = {r["doc_id"]: r for r in multimodal.decode_media(df.coalesce(1)).collect()}

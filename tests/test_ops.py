@@ -55,4 +55,5 @@ def test_every_query_has_callable_and_aliased_oracle():
     assert rows_only == {
         "extract_flagship", "extract_stats_cube", "extract_spans_lowconf",
         "extract_pdf_pages", "multimodal_decode_stub",
+        "multimodal_features_stub",
     }

@@ -93,6 +93,47 @@ def decode_media(df: DataFrame) -> DataFrame:
     return df.mapInPandas(decode_batches, DECODED_SCHEMA)
 
 
+# -------------------------------------------------------- feature-extract
+
+FEATURES_SCHEMA = "doc_id bigint, features array<float>, feat_norm double"
+
+
+def feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Feature extraction over opaque media: an 8-bin byte histogram,
+    L1-normalized — the deterministic stand-in for an image/audio
+    embedding model (same shape: binary in, float vector out, Arrow
+    batched). numpy-vectorized per batch; undecodable rows get a zero
+    vector."""
+    import numpy as np
+
+    for pdf in it:
+        feats: list[list[float]] = []
+        norms: list[float] = []
+        for payload in pdf["media"]:
+            b = bytes(payload) if payload is not None else b""
+            if not b:
+                feats.append([0.0] * 8)
+                norms.append(0.0)
+                continue
+            arr = np.frombuffer(b, dtype=np.uint8)
+            hist = np.bincount(arr >> 5, minlength=8).astype(np.float64)
+            v = hist / hist.sum()
+            feats.append([float(x) for x in v])
+            norms.append(float(np.sqrt((v * v).sum())))
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"].values,
+            "features": feats,
+            "feat_norm": norms,
+        })
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """df(doc_id, media:binary) → (doc_id, features:array<float>,
+    feat_norm). The embedding-generation stage of a multimodal training
+    pipeline; output feeds the ANN/near-dup operators."""
+    return df.mapInPandas(feature_batches, FEATURES_SCHEMA)
+
+
 # --------------------------------------------------- resize / frame-sample
 
 RESIZED_SCHEMA = DECODED_SCHEMA + ", out_width int, out_height int, scale double"
