@@ -18,6 +18,9 @@ Layering (see SURVEY.md §7):
 - ``pipeline`` — the Spark DAG (scan → parse → assemble → fields → write)
 - ``checkpoint`` — parquet+manifest snapshot catalog shim, resume anti-join
 - ``skew``     — hot-host detection + salting helpers
+- ``runner``   — resumable commit-group job + staged reprocess (C4)
+- ``multimodal`` — opaque-binary media plumbing (decode / features /
+  resize plan / frame sampling; stub kernels, real Spark contract)
 - ``fixtures`` — deterministic synthetic pages generator (tests + bench)
 
 The byte-identical contract: every operator on the golden text path runs
