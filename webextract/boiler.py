@@ -68,35 +68,21 @@ class Block:
 
 def blocks_of(dom: Dom) -> list[Block]:
     """Group text segments into blocks via nearest-block-ancestor, compute
-    densities. Single pass + memoized ancestor resolution."""
-    nearest: dict[int, int] = {0: 0}  # node -> nearest block-tag ancestor (or root 0)
-
-    def resolve(node: int) -> int:
-        got = nearest.get(node)
-        if got is not None:
-            return got
-        chain = []
-        cur = node
-        while cur not in nearest:
-            chain.append(cur)
-            if dom.tag[cur] in BLOCK_TAGS:
-                nearest[cur] = cur
-                break
-            cur = dom.parent[cur]
-        res = nearest[cur]
-        for c in chain:
-            if c not in nearest:
-                nearest[c] = res
-        return nearest[node]
+    densities. Nearest-block resolution is one O(n) array pass: parents
+    always precede children in the DOM arrays, so each node inherits its
+    parent's already-computed answer."""
+    tags, parents = dom.tag, dom.parent
+    nearest = [0] * len(tags)  # node -> nearest block-tag ancestor (or root 0)
+    for i in range(1, len(tags)):
+        nearest[i] = i if tags[i] in BLOCK_TAGS else nearest[parents[i]]
 
     by_block: dict[int, Block] = {}
     parts: dict[int, list[str]] = {}
     for k in range(len(dom.seg_owner)):
-        owner = dom.seg_owner[k]
-        b = resolve(owner)
+        b = nearest[dom.seg_owner[k]]
         blk = by_block.get(b)
         if blk is None:
-            blk = Block(k, dom.tag[b])
+            blk = Block(k, tags[b])
             by_block[b] = blk
             parts[b] = []
         parts[b].append(dom.seg_text[k])
@@ -104,8 +90,8 @@ def blocks_of(dom: Dom) -> list[Block]:
             blk.link_chars += len(_collapse(dom.seg_text[k]))
     # tag counts: every element contributes to its nearest block (if that
     # block carries text); the block element itself is the baseline 1.
-    for node in range(1, len(dom.tag)):
-        b = resolve(node)
+    for node in range(1, len(tags)):
+        b = nearest[node]
         blk = by_block.get(b)
         if blk is not None and node != b:
             blk.tags += 1
