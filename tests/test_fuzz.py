@@ -55,6 +55,27 @@ def test_spark_equals_oracle_on_mutants(spark):
         assert (g["error"] or None) == (w["error"] or None), u
 
 
+def test_staged_path_equals_fused_on_mutants(spark):
+    """The 3-stage path must agree with the fused path on adversarial
+    inputs too, not just on well-formed goldens — the native HOF argmax
+    and the Python argmax see empty/failed candidate lists here."""
+    import datetime as dt
+    muts = list(_mutants())
+    ts = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    df = spark.createDataFrame(
+        [(u, ts, bytearray(p), "", "vi") for u, p in muts],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    fused = {r["url"]: r for r in pipeline.run_extract(df, n_buckets=8).collect()}
+    staged = {r["url"]: r for r in
+              pipeline.run_extract(df, n_buckets=8, fused=False).collect()}
+    assert set(fused) == set(staged)
+    for u in fused:
+        assert fused[u]["text"] == staged[u]["text"], u
+        assert fused[u]["status"] == staged[u]["status"], u
+        assert fused[u]["confidence"] == staged[u]["confidence"], u
+
+
 def test_mutant_failures_counted_in_lineage(spark, tmp_path):
     from webextract import runner
     from webextract.checkpoint import Catalog
