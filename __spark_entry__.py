@@ -493,6 +493,35 @@ GROUP BY ROLLUP(y, m)
 """)
 
 
+_sqlq("grouping_sets_explicit", ["orders"], f"""
+SELECT o_orderstatus, o_orderpriority,
+       grouping(o_orderstatus) AS g_status, grouping(o_orderpriority) AS g_priority,
+       count(*) AS n_orders, {_dsum('o_totalprice')} AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""")
+
+
+_sqlq("set_ops_intersect_except", ["customer", "orders"], """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders
+WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+""")
+
+
+_sqlq("pivot_status_by_priority", ["orders"], f"""
+SELECT o_orderpriority,
+       cast(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) as bigint) AS n_open,
+       cast(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) as bigint) AS n_finished,
+       cast(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) as bigint) AS n_pending,
+       {_dsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END")} AS open_total
+FROM orders GROUP BY o_orderpriority
+""")
+
+
 _sqlq("pagination_orders", ["orders"], """
 SELECT o_orderkey, date_format(o_orderdate, 'yyyy-MM-dd') AS order_date, o_totalprice
 FROM orders ORDER BY o_orderdate DESC, o_orderkey LIMIT 20 OFFSET 40
