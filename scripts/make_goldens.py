@@ -12,7 +12,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from webextract import fixtures, golden, oracle  # noqa: E402
 
-N_GOLDEN = 250
+N_GOLDEN = 500
 
 def main() -> None:
     out_dir = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")

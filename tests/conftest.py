@@ -8,7 +8,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from webextract import pipeline  # noqa: E402
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
-N_GOLDEN = 250  # must match scripts/make_goldens.py
+N_GOLDEN = 500  # must match scripts/make_goldens.py
 
 
 @pytest.fixture(scope="session")
