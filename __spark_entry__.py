@@ -217,7 +217,8 @@ SELECT doc_id, cast(frame_index as bigint) AS frame_index,
        cast(frame_index * 40.0 as double) AS frame_ts_ms
 FROM (SELECT doc_id, unnest(range(0, 1 + octet_length(encode(text)) % 30, 5))
              AS frame_index
-      FROM documents)
+      FROM documents
+      WHERE octet_length(encode(text)) > 0)
 """)
 
 
@@ -349,7 +350,7 @@ GROUP BY r_name
 
 def _semi_join_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[§2.11, P-group] left-semi join: customers having at least one
-    order above 2× the average order value."""
+    order above 1.5× the average order value."""
     _prep(spark)
     o = _t(spark, sf_dir, "orders")
     thresh = o.agg((F.avg("o_totalprice") * 1.5).alias("t"))
@@ -656,6 +657,7 @@ def _salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events": ("count", "value"),
         },
         n_salts=8,
+        id_cols=["event_id"],
     )
     return res.select(
         F.col("_key").alias("user_id"),

@@ -128,7 +128,7 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     result = {
-        "metric": "extraction_wall_sec_plus_headline_queries",
+        "metric": "extraction_wall_sec_240k_docs",
         "value": extract["wall_sec"],
         "unit": "sec",
         "queries": queries,

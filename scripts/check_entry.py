@@ -15,9 +15,18 @@ sys.path.insert(0, "/root/repo")
 
 
 def value_hash(df) -> tuple[int, str, list[str]]:
-    """(n_rows, hash, sorted_cols) with rows + columns canonicalized."""
+    """(n_rows, hash, sorted_cols) with rows + columns canonicalized.
+
+    Mimics the driver's canonicalizer, including its fragility: the
+    driver pandas-sort_values the frame, which raises TypeError on
+    unhashable cells (numpy arrays from array<...> columns). We run the
+    same sort first so any query that would crash the driver's gate
+    crashes HERE, in the local pre-flight (round-1 lesson: extract_flagship
+    recorded `err` because this mimic silently str()'d arrays instead)."""
     cols = sorted(df.columns)
     df = df[cols]
+    if len(df):
+        df.sort_values(cols)  # driver-parity: raises on unhashable cells
     rows = []
     for tup in df.itertuples(index=False, name=None):
         cells = []

@@ -14,6 +14,7 @@ SPAN_PA = pa.struct(
         ("end", pa.int64()),
         ("confidence", pa.float64()),
         ("is_required", pa.bool_()),
+        ("method", pa.string()),
     ]
 )
 BLOCK_PA = pa.struct(

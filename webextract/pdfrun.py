@@ -164,10 +164,13 @@ def _string(content: bytes, i: int) -> tuple[str, int]:
         if c == b"\\":
             nxt = content[i + 1:i + 2]
             if nxt.isdigit():  # octal escape \ddd
+                # \8 / \9 pass isdigit but are not octal — fall through to
+                # the literal-escape branch instead of crashing (ADVICE r1)
                 m = _OCTAL_RE.match(content, i + 1)
-                out.append(chr(int(m.group(0), 8)))
-                i = m.end()
-                continue
+                if m:
+                    out.append(chr(int(m.group(0), 8)))
+                    i = m.end()
+                    continue
             out.append(_ESCAPES.get(nxt, nxt.decode("latin-1")))
             i += 2
             continue

@@ -60,11 +60,25 @@ def hot_keys(
 def with_salt(
     df: DataFrame, key: Column, n_salts: int = DEFAULT_SALTS,
     only_keys: Sequence | None = None,
+    id_cols: Sequence[str] | None = None,
 ) -> DataFrame:
-    """Add ``_salt``: a deterministic 0..n_salts-1 spreading value derived
-    from the whole row's natural id columns via monotonically varying
-    hash. Hot-key-selective when only_keys given (cold keys get salt 0)."""
-    spread = F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)).cast("int")
+    """Add ``_salt``: a 0..n_salts-1 spreading value that varies WITHIN a
+    key so a hot key's rows land on n_salts reducers.
+
+    ``id_cols``: the narrow natural-id columns whose hash drives the
+    spread (e.g. an event id). Hashing only ids matters at scale: the
+    round-1 version hashed every column, which on a pages-like DataFrame
+    funneled multi-100KB payload blobs through xxhash64 just to pick a
+    4-bit salt. Without id_cols the salt falls back to the row's physical
+    position (partition-stable, never touches payload bytes); position is
+    fine because salt only steers partitioning — it never appears in a
+    result (salted_agg re-merges on the bare key).
+    Hot-key-selective when only_keys given (cold keys get salt 0)."""
+    if id_cols:
+        spread = F.pmod(F.xxhash64(*[F.col(c) for c in id_cols]),
+                        F.lit(n_salts)).cast("int")
+    else:
+        spread = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
     if only_keys is not None:
         spread = F.when(key.isin(list(only_keys)), spread).otherwise(F.lit(0))
     return df.withColumn("_salt", spread)
@@ -76,6 +90,7 @@ def salted_agg(
     aggs: dict[str, tuple[str, str]],
     n_salts: int = DEFAULT_SALTS,
     only_keys: Sequence | None = None,
+    id_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Two-phase skew-safe aggregation.
 
@@ -83,7 +98,7 @@ def salted_agg(
     {count, sum, min, max, avg}. avg is decomposed into sum+count partials
     so the merge is exact.
     """
-    salted = with_salt(df, key, n_salts, only_keys).withColumn("_key", key)
+    salted = with_salt(df, key, n_salts, only_keys, id_cols).withColumn("_key", key)
     partial_exprs = []
     final_exprs = []
     for name, (op, col) in aggs.items():

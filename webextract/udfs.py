@@ -30,7 +30,8 @@ CANDIDATE_T = (
 )
 SPAN_T = (
     "array<struct<name:string,value:string,field_type:string,"
-    "start:bigint,end:bigint,confidence:double,is_required:boolean>>"
+    "start:bigint,end:bigint,confidence:double,is_required:boolean,"
+    "method:string>>"
 )
 
 PARSED_SCHEMA = (
