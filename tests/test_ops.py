@@ -52,8 +52,4 @@ def test_every_query_has_callable_and_aliased_oracle():
     assert set(oracles) <= set(qs)
     # every oracle-less query is one of the documented non-SQL ops
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {
-        "extract_flagship", "extract_stats_cube", "extract_spans_lowconf",
-        "extract_pdf_pages", "multimodal_decode_stub",
-        "multimodal_features_stub",
-    }
+    assert rows_only == {"extract_flagship", "extract_pdf_pages"}

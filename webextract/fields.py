@@ -180,7 +180,9 @@ ENTITY_BODIES: dict[str, str] = {
     # as the \b version without needing \b — and never crosses a line break
     # (spec decision: entities are line-bounded; the reference's \s let an
     # ORGANIZATION/PERSON swallow text across block boundaries)
-    "ORGANIZATION": r"(?:phòng|ban|sở|cục|văn phòng|công ty|trường)[ \t]+[\w \t]*\w",
+    # NB: [\w] (class-wrapped) not bare \w — the RE2 translation rewrites
+    # \w to \pL\pN_, which is only valid inside a character class
+    "ORGANIZATION": r"(?:phòng|ban|sở|cục|văn phòng|công ty|trường)[ \t]+[\w \t]*[\w]",
     "PERSON": (r"[A-ZÀÁÂÃÈÉÊÌÍÒÓÔÕÙÚÝ][a-zàáâãèéêìíòóôõùúý]+"
                r"(?:[ \t]+[A-ZÀÁÂÃÈÉÊÌÍÒÓÔÕÙÚÝ][a-zàáâãèéêìíòóôõùúý]+)*"),
 }
