@@ -1090,13 +1090,19 @@ _DUCK_TOK = ("SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token "
 _DUCK_TOK_NE = f"SELECT * FROM ({_DUCK_TOK}) WHERE token <> ''"
 
 
-_sqlq("token_counts_by_lang", ["documents"], """
-SELECT lang,
-       round(avg(size(filter(split(text, ' '), x -> x <> ''))), 4) AS avg_tokens,
-       cast(sum(size(filter(split(text, ' '), x -> x <> ''))) as bigint) AS total_tokens,
-       count(*) AS n_docs
-FROM documents GROUP BY lang
-""", """
+def _token_counts_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F13/token budget] webextract.textstats.token_counts rolled up."""
+    _prep(spark)
+    from webextract import textstats
+    docs = textstats.token_counts(_t(spark, sf_dir, "documents"))
+    return docs.groupBy("lang").agg(
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+_register("token_counts_by_lang", _token_counts_by_lang, """
 SELECT lang,
        round(avg(len(list_filter(string_split(text, ' '), x -> x <> ''))), 4) AS avg_tokens,
        cast(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) as bigint) AS total_tokens,
@@ -1108,16 +1114,16 @@ FROM documents GROUP BY lang
 _EN_STOP = "'the', 'of', 'and', 'a', 'to', 'in', 'is', 'on', 'for', 'with'"
 _VI_STOP = "'và', 'của', 'các', 'là', 'có', 'cho', 'trong', 'được', 'người', 'không'"
 
-_sqlq("lang_id_stopwords", ["documents"], f"""
-SELECT doc_id, lang,
-       CASE WHEN en_hits > vi_hits THEN 'en'
-            WHEN vi_hits > en_hits THEN 'vi' ELSE 'und' END AS pred_lang,
-       en_hits, vi_hits
-FROM (SELECT doc_id, lang,
-             cast(sum(CASE WHEN token IN ({_EN_STOP}) THEN 1 ELSE 0 END) as bigint) AS en_hits,
-             cast(sum(CASE WHEN token IN ({_VI_STOP}) THEN 1 ELSE 0 END) as bigint) AS vi_hits
-      FROM ({_SPARK_TOK}) GROUP BY doc_id, lang)
-""", f"""
+def _lang_id_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[lang-ID, word level] webextract.textstats.lang_id_stopwords."""
+    _prep(spark)
+    from webextract import textstats
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.lang_id_stopwords(docs).select(
+        "doc_id", "lang", "pred_lang", "en_hits", "vi_hits")
+
+
+_register("lang_id_stopwords", _lang_id_stopwords, f"""
 SELECT doc_id, lang,
        CASE WHEN en_hits > vi_hits THEN 'en'
             WHEN vi_hits > en_hits THEN 'vi' ELSE 'und' END AS pred_lang,
@@ -1147,15 +1153,17 @@ _REP_SPARK = ("cast(size(array_distinct(filter(split(text, ' '), x -> x <> '')))
 _REP_DUCK = ("cast(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) as double)"
              " / len(list_filter(string_split(text, ' '), x -> x <> ''))")
 
-_sqlq("doc_quality_scores", ["documents"], f"""
-SELECT doc_id, n_chars,
-       cast(size(filter(split(text, ' '), x -> x <> '')) as bigint) AS n_tokens,
-       cast(size(array_distinct(filter(split(text, ' '), x -> x <> ''))) as bigint) AS n_distinct_tokens,
-       round(cast(n_chars as double) / size(filter(split(text, ' '), x -> x <> '')), 4) AS chars_per_token,
-       round(1.0 - {_REP_SPARK}, 4) AS repetition_ratio,
-{_QUALITY_EXTRA.replace("REP_EXPR", f"(1.0 - {_REP_SPARK})")}
-FROM documents
-""", f"""
+def _doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[quality scoring] webextract.textstats.quality_scores."""
+    _prep(spark)
+    from webextract import textstats
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.quality_scores(docs).select(
+        "doc_id", "n_chars", "n_tokens", "n_distinct_tokens",
+        "chars_per_token", "repetition_ratio", "punct_ratio", "quality_score")
+
+
+_register("doc_quality_scores", _doc_quality_scores, f"""
 SELECT doc_id, n_chars,
        cast(len(list_filter(string_split(text, ' '), x -> x <> '')) as bigint) AS n_tokens,
        cast(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) as bigint) AS n_distinct_tokens,
@@ -1188,17 +1196,28 @@ SELECT doc_id, lang,
 FROM documents
 """
 
-_sqlq("lang_id_char_ngrams", ["documents"], _LANG_NGRAM_SQL)
+def _lang_id_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[lang-ID, char n-gram] webextract.textstats.lang_id_char_ngrams."""
+    _prep(spark)
+    from webextract import textstats
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.lang_id_char_ngrams(docs).select(
+        "doc_id", "lang", "en_bigrams", "vi_bigrams", "pred_lang")
 
 
-_sqlq("doc_fingerprints", ["documents"], f"""
-SELECT t.doc_id,
-       substr(min(md5(token)), 1, 16) AS fp_min,
-       substr(max(md5(token)), 1, 16) AS fp_max,
-       min(md5(substr(d.text, 1, 64))) AS fp_prefix
-FROM ({_SPARK_TOK}) t JOIN documents d ON t.doc_id = d.doc_id
-GROUP BY t.doc_id
-""", f"""
+_register("lang_id_char_ngrams", _lang_id_char_ngrams, _LANG_NGRAM_SQL)
+
+
+def _doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[fingerprinting] webextract.textstats.fingerprints."""
+    _prep(spark)
+    from webextract import textstats
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.fingerprints(docs).select(
+        "doc_id", "fp_min", "fp_max", "fp_prefix")
+
+
+_register("doc_fingerprints", _doc_fingerprints, f"""
 SELECT t.doc_id,
        substr(min(md5(token)), 1, 16) AS fp_min,
        substr(max(md5(token)), 1, 16) AS fp_max,
@@ -1208,7 +1227,18 @@ GROUP BY t.doc_id
 """)
 
 
-_sqlq("exact_dedup_prefix", ["documents"], """
+def _exact_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[dedup: exact] webextract.dedup.exact_duplicates on a prefix key."""
+    _prep(spark)
+    from webextract import dedup
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(
+        docs, F.substring("text", 1, 16), "doc_id"
+    ).select(F.col("dup_key").alias("text_prefix"), "n_dups",
+             F.col("keep_id").alias("keep_doc_id"))
+
+
+_register("exact_dedup_prefix", _exact_dedup_prefix, """
 SELECT substr(text, 1, 16) AS text_prefix, count(*) AS n_dups,
        min(doc_id) AS keep_doc_id
 FROM documents GROUP BY 1 HAVING count(*) > 1
@@ -1227,27 +1257,61 @@ SELECT doc_id,
 FROM (SELECT DISTINCT doc_id, token FROM ({tok})) GROUP BY doc_id
 """
 
-_sqlq("minhash_signatures", ["documents"],
-      _MINHASH_CORE.format(tok=_SPARK_TOK),
-      _MINHASH_CORE.format(tok=_DUCK_TOK_NE))
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[dedup: MinHash] webextract.dedup.minhash_signatures — signature
+    frame computed once (persisted), k=4 demo sizing (production: 128)."""
+    _prep(spark)
+    from webextract import dedup
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs, "doc_id", "text", n_hashes=4)
 
 
-# LSH banding: 2 bands × 2 rows; candidate pair = docs sharing any band key.
+_register("minhash_signatures", _minhash_signatures,
+          _MINHASH_CORE.format(tok=_DUCK_TOK_NE))
+
+
+# LSH banding: 2 bands × 2 rows; candidate pair = docs sharing any band
+# key. Buckets are capped at 100 members (deterministic, by doc_id) in
+# BOTH engines — a degenerate dup cluster can no longer go O(b²)
+# (sf0.01 already has a 317-member band bucket).
+_LSH_BUCKET_CAP = 100
+
 _LSH_CORE = """
 WITH sig AS ({core}),
 bands AS (
   SELECT doc_id, 0 AS band, h0 || h1 AS bkey FROM sig
   UNION ALL
-  SELECT doc_id, 1 AS band, h2 || h3 AS bkey FROM sig)
+  SELECT doc_id, 1 AS band, h2 || h3 AS bkey FROM sig),
+bandsc AS (
+  SELECT doc_id, band, bkey FROM (
+    SELECT doc_id, band, bkey,
+           row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rk
+    FROM bands)
+  WHERE rk <= {cap})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
-FROM bands a JOIN bands b
+FROM bandsc a JOIN bandsc b
   ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 """
 
-_sqlq("lsh_candidate_pairs", ["documents"],
-      _LSH_CORE.format(core=_MINHASH_CORE.format(tok=_SPARK_TOK)),
-      _LSH_CORE.format(core=_MINHASH_CORE.format(tok=_DUCK_TOK_NE)))
+
+def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[dedup: LSH recall] webextract.dedup.candidate_pairs — sig computed
+    once + persisted (round-1's SQL recomputed it per band arm per join
+    side: 12 s → this), hot buckets capped."""
+    _prep(spark)
+    from webextract import dedup
+    docs = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, "doc_id", "text", n_hashes=4)
+    return dedup.candidate_pairs(
+        sig, "doc_id", n_hashes=4, bucket_cap=_LSH_BUCKET_CAP
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
+             "n_shared_bands")
+
+
+_register("lsh_candidate_pairs", _lsh_candidate_pairs,
+          _LSH_CORE.format(core=_MINHASH_CORE.format(tok=_DUCK_TOK_NE),
+                           cap=_LSH_BUCKET_CAP))
 
 
 # n-gram (token-set) Jaccard over all pairs — the exact baseline LSH
@@ -1271,24 +1335,25 @@ _sqlq("jaccard_similar_pairs", ["documents"],
 
 
 # Duplicate-cluster labeling: k-bounded min-label propagation over the
-# LSH candidate-pair graph (connected components unrolled to 3 rounds —
-# iterative algorithms land in Spark as bounded join chains; both engines
-# compute the identical k-bounded fixpoint, so parity holds even for
-# clusters whose diameter exceeds k).
+# full-signature collision graph (connected components unrolled to 3
+# rounds — iterative algorithms land in Spark as bounded join chains;
+# both engines compute the identical k-bounded fixpoint). Bucket members
+# are wired in a STAR to the bucket's min id: identical components to
+# all-pairs wiring at O(members) instead of O(members²) edges (sf0.01
+# already holds a 221-member signature bucket).
 _CLUSTER_CORE = """
 WITH sig AS ({core}),
 keys AS (SELECT doc_id, h0 || h1 || h2 || h3 AS bkey FROM sig),
-pairs AS (
-  SELECT x.doc_id AS a, y.doc_id AS b
-  FROM keys x JOIN keys y
-    ON x.bkey = y.bkey AND x.doc_id < y.doc_id
-  GROUP BY x.doc_id, y.doc_id),
+star AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY bkey) AS leader
+         FROM keys),
+pairs AS (SELECT leader AS a, doc_id AS b FROM star WHERE doc_id <> leader),
+nodes AS (SELECT DISTINCT n FROM
+          (SELECT a AS n FROM pairs UNION ALL SELECT b AS n FROM pairs)),
 edges AS (
   SELECT a, b FROM pairs
   UNION ALL SELECT b AS a, a AS b FROM pairs
-  UNION ALL SELECT DISTINCT a, a AS b FROM
-    (SELECT a FROM pairs UNION ALL SELECT b AS a FROM pairs)),
-l0 AS (SELECT DISTINCT a AS doc_id, a AS lbl FROM edges),
+  UNION ALL SELECT n AS a, n AS b FROM nodes),
+l0 AS (SELECT n AS doc_id, n AS lbl FROM nodes),
 l1 AS (SELECT e.a AS doc_id, min(l0.lbl) AS lbl
        FROM edges e JOIN l0 ON l0.doc_id = e.b GROUP BY e.a),
 l2 AS (SELECT e.a AS doc_id, min(l1.lbl) AS lbl
@@ -1299,24 +1364,43 @@ SELECT lbl AS cluster_id, count(*) AS n_members, min(doc_id) AS keep_doc_id
 FROM l3 GROUP BY lbl
 """
 
-_sqlq("dedup_clusters_bounded", ["documents"],
-      _CLUSTER_CORE.format(core=_MINHASH_CORE.format(tok=_SPARK_TOK)),
-      _CLUSTER_CORE.format(core=_MINHASH_CORE.format(tok=_DUCK_TOK_NE)))
+
+def _dedup_clusters_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[dedup: clustering] webextract.dedup.duplicate_clusters — edges
+    built once + persisted (round-1's SQL re-derived sig per propagation
+    round: 10 s → this), star wiring."""
+    _prep(spark)
+    from webextract import dedup
+    docs = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, "doc_id", "text", n_hashes=4)
+    return dedup.duplicate_clusters(sig, "doc_id", n_hashes=4, rounds=3).select(
+        "cluster_id", "n_members", F.col("keep_id").alias("keep_doc_id"))
+
+
+_register("dedup_clusters_bounded", _dedup_clusters_bounded,
+          _CLUSTER_CORE.format(core=_MINHASH_CORE.format(tok=_DUCK_TOK_NE)))
 
 
 # The scalable dedup pipeline: LSH banding proposes candidates (recall
-# stage, O(collisions)), exact token-set Jaccard verifies ONLY those
-# pairs (precision stage) — never the O(n²) all-pairs join that
-# jaccard_similar_pairs (the small-sf exact baseline) performs.
+# stage, O(collisions), hot buckets capped), exact token-set Jaccard
+# verifies ONLY those pairs (precision stage) — never the O(n²)
+# all-pairs join that jaccard_similar_pairs (the small-sf exact
+# baseline) performs.
 _LSH_JACCARD_CORE = """
 WITH sig AS ({core}),
 bands AS (
   SELECT doc_id, 0 AS band, h0 || h1 AS bkey FROM sig
   UNION ALL
   SELECT doc_id, 1 AS band, h2 || h3 AS bkey FROM sig),
+bandsc AS (
+  SELECT doc_id, band, bkey FROM (
+    SELECT doc_id, band, bkey,
+           row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rk
+    FROM bands)
+  WHERE rk <= {cap}),
 cand AS (
   SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
-  FROM bands x JOIN bands y
+  FROM bandsc x JOIN bandsc y
     ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
   GROUP BY x.doc_id, y.doc_id
   HAVING count(*) = 2),
@@ -1332,11 +1416,27 @@ FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
 WHERE i / cast(ca.n + cb.n - i as double) >= 0.7
 """
 
-_sqlq("lsh_jaccard_verified", ["documents"],
-      _LSH_JACCARD_CORE.format(core=_MINHASH_CORE.format(tok=_SPARK_TOK),
-                               tok=_SPARK_TOK),
-      _LSH_JACCARD_CORE.format(core=_MINHASH_CORE.format(tok=_DUCK_TOK_NE),
-                               tok=_DUCK_TOK_NE))
+
+def _lsh_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[dedup: recall→precision] candidate_pairs (all bands shared) →
+    jaccard_verify on candidates only; sig + token set persisted once."""
+    _prep(spark)
+    from webextract import dedup
+    from pyspark.storagelevel import StorageLevel
+    docs = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, "doc_id", "text", n_hashes=4)
+    cand = dedup.candidate_pairs(
+        sig, "doc_id", n_hashes=4, bucket_cap=_LSH_BUCKET_CAP
+    ).filter(F.col("n_shared_bands") == 2).select("id_a", "id_b")
+    tok = dedup.distinct_tokens(docs, "doc_id", "text").persist(
+        StorageLevel.MEMORY_AND_DISK)
+    return dedup.jaccard_verify(cand, tok, "doc_id", threshold=0.7).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard")
+
+
+_register("lsh_jaccard_verified", _lsh_jaccard_verified,
+          _LSH_JACCARD_CORE.format(core=_MINHASH_CORE.format(tok=_DUCK_TOK_NE),
+                                   tok=_DUCK_TOK_NE, cap=_LSH_BUCKET_CAP))
 
 
 # SimHash (16-bit) over distinct tokens; token hash = first 4 hex chars of
@@ -1366,9 +1466,17 @@ SELECT doc_id, cast({recombine} as bigint) AS simhash16 FROM bits
 """
 
 
-_sqlq("simhash_doc_hashes", ["documents"],
-      _simhash_sql(_SPARK_TOK, "shiftright(h, {b}) & 1"),
-      _simhash_sql(_DUCK_TOK_NE, "(h >> {b}) & 1"))
+def _simhash_doc_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[dedup: SimHash] webextract.dedup.simhash, 16-bit demo sizing."""
+    _prep(spark)
+    from webextract import dedup
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", "text", bits=16).select(
+        "doc_id", F.col("simhash").alias("simhash16"))
+
+
+_register("simhash_doc_hashes", _simhash_doc_hashes,
+          _simhash_sql(_DUCK_TOK_NE, "(h >> {b}) & 1"))
 
 
 _sqlq("embedding_norms", ["embeddings"], """
@@ -1430,7 +1538,15 @@ ranked AS (
 SELECT q_id, rank, c_id AS neighbor_id, cosine FROM ranked WHERE rank <= 5
 """
 
-_sqlq("cosine_topk_bruteforce", ["embeddings"], _COSINE_SPARK, _COSINE_DUCK)
+def _cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[ANN baseline] webextract.ann.cosine_topk — exact, query-restricted."""
+    _prep(spark)
+    from webextract import ann
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.cosine_topk(emb, [0, 1, 2], k=5)
+
+
+_register("cosine_topk_bruteforce", _cosine_topk_bruteforce, _COSINE_DUCK)
 
 
 # Hyperplane-sign LSH buckets (scale path for ANN): 8 deterministic
@@ -1451,11 +1567,18 @@ FROM proj GROUP BY 1
 """
 
 
-_sqlq("ann_lsh_buckets", ["embeddings"],
-      _ann_lsh_sql("SELECT vec_id, i AS i0, e FROM "
-                   "(SELECT vec_id, posexplode(embedding) AS (i, e) FROM embeddings)"),
-      _ann_lsh_sql("SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i0, "
-                   "unnest(embedding) AS e FROM embeddings"))
+def _ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[ANN scale path: bucket assignment] webextract.ann.lsh_buckets."""
+    _prep(spark)
+    from webextract import ann
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.lsh_buckets(emb, persist=False).groupBy("bucket").agg(
+        F.count("*").alias("n_vectors"))
+
+
+_register("ann_lsh_buckets", _ann_lsh_buckets,
+          _ann_lsh_sql("SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i0, "
+                       "unnest(embedding) AS e FROM embeddings"))
 
 
 _sqlq("multimodal_binary_meta", ["documents"], f"""
@@ -1479,13 +1602,19 @@ FROM documents
 
 # BPE-ish regex tokenizer (letter runs / digit runs / single punctuation)
 # vs the whitespace tokenizer — the brief's second token-counting mode.
-_sqlq("token_counts_regex", ["documents"], """
-SELECT doc_id,
-       cast(size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)) as bigint)
-         AS n_subtokens,
-       cast(size(regexp_extract_all(text, '[0-9]+', 0)) as bigint) AS n_number_runs
-FROM documents
-""", """
+def _token_counts_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[BPE-ish tokenizer count] webextract.textstats.token_counts."""
+    _prep(spark)
+    from webextract import textstats
+    docs = textstats.token_counts(_t(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id", "n_subtokens",
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), F.lit(0)))
+        .cast("bigint").alias("n_number_runs"),
+    )
+
+
+_register("token_counts_regex", _token_counts_regex, """
 SELECT doc_id,
        cast(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)) as bigint)
          AS n_subtokens,
@@ -1511,9 +1640,16 @@ SELECT doc_id, max(CASE WHEN rk = 1 THEN substr(g, 1, 16) END) AS fp1,
 FROM ranked WHERE rk <= 2 GROUP BY doc_id
 """
 
-_sqlq("winnow_fingerprints", ["documents"],
-      _WINNOW_CORE.format(gen="explode(sequence(1, length(text) - 31, 16))"),
-      _WINNOW_CORE.format(gen="unnest(generate_series(1, length(text) - 31, 16))"))
+def _winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[fingerprinting: winnowing] webextract.textstats.winnow_fingerprints."""
+    _prep(spark)
+    from webextract import textstats
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.winnow_fingerprints(docs).select("doc_id", "fp1", "fp2")
+
+
+_register("winnow_fingerprints", _winnow_fingerprints,
+          _WINNOW_CORE.format(gen="unnest(generate_series(1, length(text) - 31, 16))"))
 
 
 _sqlq("coalesce_first_match", ["documents"], """
@@ -1551,13 +1687,29 @@ _FLAT_SPARK = ("SELECT vec_id, i, e FROM "
 _FLAT_DUCK = ("SELECT vec_id, generate_subscripts(embedding, 1) AS i, "
               "unnest(embedding) AS e FROM embeddings")
 
-_sqlq("embedding_near_dup_pairs", ["embeddings"],
-      _near_dup_sql(_FLAT_SPARK), _near_dup_sql(_FLAT_DUCK))
+def _embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[dedup: embedding-cosine near-dup] webextract.ann.near_dup_pairs —
+    EXACT all-pairs baseline (labeled as such, like jaccard_similar_pairs;
+    the scale path is ann.bucketed_topk)."""
+    _prep(spark)
+    from webextract import ann
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.near_dup_pairs(emb, threshold=0.4)
+
+
+_register("embedding_near_dup_pairs", _embedding_near_dup_pairs,
+          _near_dup_sql(_FLAT_DUCK))
 
 
 # IVF/LSH-bucketed ANN search — the scale path: each vector searches ONLY
 # its hyperplane-LSH bucket (candidates shrink from O(N) to O(N/buckets)),
 # then exact cosine ranks within the bucket; nearest neighbor per vector.
+# The CANDIDATE side of each bucket is capped (deterministically, by
+# vec_id) so a degenerate bucket cannot go O(b²); queries are never
+# dropped.
+_ANN_BUCKET_CAP = 64
+
+
 def _ann_lsh_topk_sql(flat_src: str, zero_based_i: str) -> str:
     projs = ",\n       ".join(
         f"sum(cast(e as double) * cast((({zero_based_i} * {7 * j + 3}) % 11) - 5 as double)) AS p{j}"
@@ -1572,9 +1724,15 @@ proj AS (SELECT vec_id,
        {projs}
 FROM flat GROUP BY vec_id),
 bkt AS (SELECT vec_id, {bucket} AS bucket FROM proj),
+bktc AS (
+  SELECT vec_id, bucket FROM (
+    SELECT vec_id, bucket,
+           row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rk
+    FROM bkt)
+  WHERE rk <= {_ANN_BUCKET_CAP}),
 pairs AS (
   SELECT a.vec_id AS q_id, b.vec_id AS c_id
-  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+  FROM bkt a JOIN bktc b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
 dots AS (
   SELECT p.q_id, p.c_id, sum(cast(q.e as double) * cast(c.e as double)) AS dot
   FROM pairs p JOIN flat q ON q.vec_id = p.q_id
@@ -1589,9 +1747,17 @@ SELECT q_id, c_id AS neighbor_id, cosine FROM ranked WHERE rk = 1
 """
 
 
-_sqlq("ann_lsh_topk", ["embeddings"],
-      _ann_lsh_topk_sql(_FLAT_SPARK, "i"),
-      _ann_lsh_topk_sql(_FLAT_DUCK, "(i - 1)"))
+def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[ANN scale path] webextract.ann.bucketed_topk — co-partition by
+    bucket, exact cosine within bucket, candidate cap."""
+    _prep(spark)
+    from webextract import ann
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.bucketed_topk(emb, k=1, bucket_cap=_ANN_BUCKET_CAP)
+
+
+_register("ann_lsh_topk", _ann_lsh_topk,
+          _ann_lsh_topk_sql(_FLAT_DUCK, "(i - 1)"))
 
 
 # ------------------------------------------------------------ the contract

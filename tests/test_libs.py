@@ -1,0 +1,154 @@
+"""Unit tests for the library surface added in round 2:
+webextract.dedup / ann / textstats / validate — the reusable APIs a user
+applies to their own DataFrames (battery parity is covered separately by
+scripts/check_entry.py against the DuckDB oracles)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from webextract import ann, dedup, textstats, validate
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon zeta"),      # exact dup of 0
+        (2, "alpha beta gamma delta epsilon ZETA"),      # near dup of 0
+        (3, "totally different words entirely here now"),
+        (4, "alpha beta gamma delta epsilon zeta"),      # exact dup of 0
+        (5, "one two three four five six seven"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_duplicates(docs):
+    out = dedup.exact_duplicates(docs, F.col("text"), "doc_id").collect()
+    assert len(out) == 1
+    assert out[0]["n_dups"] == 3 and out[0]["keep_id"] == 0
+
+
+def test_minhash_identical_docs_share_signature(docs):
+    sig = dedup.minhash_signatures(docs, n_hashes=4).collect()
+    by_id = {r["doc_id"]: (r["h0"], r["h1"], r["h2"], r["h3"]) for r in sig}
+    assert by_id[0] == by_id[1] == by_id[4]
+    assert by_id[0] != by_id[3]
+
+
+def test_candidate_pairs_and_jaccard(docs):
+    sig = dedup.minhash_signatures(docs, n_hashes=4)
+    pairs = dedup.candidate_pairs(sig, bucket_cap=100)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got and (0, 4) in got and (1, 4) in got
+    tok = dedup.distinct_tokens(docs)
+    verified = dedup.jaccard_verify(
+        pairs.select("id_a", "id_b"), tok, threshold=0.99)
+    vgot = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    assert vgot == {(0, 1), (0, 4), (1, 4)}  # exact dups only at 0.99
+
+
+def test_bucket_cap_bounds_pairs(spark):
+    # 50 identical docs in one bucket: cap 5 ⇒ at most C(5,2)=10 pairs
+    rows = [(i, "same same same same") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sig = dedup.minhash_signatures(df, n_hashes=4)
+    capped = dedup.candidate_pairs(sig, bucket_cap=5).count()
+    uncapped = dedup.candidate_pairs(sig, bucket_cap=None).count()
+    assert capped == 10 and uncapped == 50 * 49 // 2
+
+
+def test_duplicate_clusters_star(docs):
+    sig = dedup.minhash_signatures(docs, n_hashes=4)
+    clusters = {r["cluster_id"]: r for r in
+                dedup.duplicate_clusters(sig).collect()}
+    assert clusters[0]["n_members"] == 3 and clusters[0]["keep_id"] == 0
+
+
+def test_simhash_close_for_near_dups(docs):
+    out = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert out[0] == out[1]
+    assert ham(out[0], out[2]) <= ham(out[0], out[3])
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import math
+    rows = []
+    for i in range(12):
+        angle = (i % 6) / 6.0 * math.pi
+        rows.append((i, [math.cos(angle), math.sin(angle), 0.1 * i, 1.0]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_cosine_topk_exact(emb):
+    out = ann.cosine_topk(emb, [0], k=3).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert all(-1.0 <= r["cosine"] <= 1.0 for r in out)
+
+
+def test_bucketed_topk_neighbors_share_bucket(emb):
+    bkt = {r["vec_id"]: r["bucket"] for r in ann.lsh_buckets(emb).collect()}
+    out = ann.bucketed_topk(emb, k=1, bucket_cap=64).collect()
+    assert out, "every non-singleton bucket should yield neighbors"
+    for r in out:
+        assert bkt[r["q_id"]] == bkt[r["neighbor_id"]]
+
+
+def test_near_dup_pairs_symmetric_threshold(emb):
+    out = ann.near_dup_pairs(emb, threshold=0.999)
+    for r in out.collect():
+        assert r["vec_a"] < r["vec_b"] and r["cosine"] >= 0.999
+
+
+def test_textstats_token_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world 42 ok!")], "doc_id bigint, text string")
+    r = textstats.token_counts(df).collect()[0]
+    assert r["n_tokens"] == 4
+    assert r["n_subtokens"] == 5  # hello/world/42/ok/!
+
+
+def test_textstats_lang_id(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat is on the mat"), (2, "của và các là người")],
+        "doc_id bigint, text string")
+    out = {r["doc_id"]: r["pred_lang"]
+           for r in textstats.lang_id_stopwords(df).collect()}
+    assert out == {1: "en", 2: "vi"}
+
+
+def test_textstats_quality_monotone_length(spark):
+    df = spark.createDataFrame(
+        [(1, "word " * 10), (2, "word " * 200)], "doc_id bigint, text string")
+    out = {r["doc_id"]: r["quality_score"]
+           for r in textstats.quality_scores(df).collect()}
+    # longer doc saturates the length term; repetition identical
+    assert out[2] > out[1]
+
+
+def test_validate_field_warnings_all_kinds(spark):
+    span_t = ("array<struct<name:string,value:string,field_type:string,"
+              "start:bigint,end:bigint,confidence:double,is_required:boolean,"
+              "method:string>>")
+    mk = lambda n, v, t, c, req: (n, v, t, 0, len(v), c, req, "pattern")  # noqa: E731
+    rows = [(
+        "https://x/doc1",
+        [
+            mk("req_missing", "", "TEXT", 0.0, True),
+            mk("bad_date", "13-13-13", "DATE", 0.9, False),
+            mk("bad_num", "12/34", "NUMERIC", 0.9, False),
+            mk("low_conf", "ok", "TEXT", 0.5, False),
+            mk("fine", "01/02/2024", "DATE", 0.9, False),
+        ],
+    )]
+    df = spark.createDataFrame(rows, f"url string, spans {span_t}")
+    out = validate.field_warnings(df).collect()
+    got = {(r["field_name"], r["warning"]) for r in out}
+    assert got == {
+        ("req_missing", validate.MISSING_REQUIRED),
+        ("req_missing", validate.LOW_CONFIDENCE),
+        ("bad_date", validate.BAD_DATE_FORMAT),
+        ("bad_num", validate.BAD_NUMERIC),
+        ("low_conf", validate.LOW_CONFIDENCE),
+    }

@@ -1,0 +1,162 @@
+"""Text-analysis library for training-data pipelines: token counting,
+language ID, quality scoring, document fingerprinting.
+
+Reusable DataFrame-in/DataFrame-out APIs (VERDICT r1 next-round #5) whose
+semantics are pinned by the driver's DuckDB oracles in __spark_entry__
+(token_counts_by_lang / token_counts_regex / lang_id_stopwords /
+lang_id_char_ngrams / doc_quality_scores / doc_fingerprints /
+winnow_fingerprints). Everything is native Catalyst — no Python UDFs —
+so at 100 TB these are one scan + (at most) one hash aggregation each.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+EN_STOPWORDS = ["the", "of", "and", "a", "to", "in", "is", "on", "for", "with"]
+VI_STOPWORDS = ["và", "của", "các", "là", "có", "cho", "trong", "được",
+                "người", "không"]
+
+SUBTOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"  # BPE-ish: letter runs /
+                                                # digit runs / single punct
+
+
+def _tokens(text_col: str) -> Column:
+    return F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_tokens (whitespace) and n_subtokens (regex tokenizer) —
+    the two token-budget estimators for corpus sizing."""
+    return df.withColumn(
+        "n_tokens", F.size(_tokens(text_col)).cast("bigint")
+    ).withColumn(
+        "n_subtokens",
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(SUBTOKEN_RE), F.lit(0)))
+        .cast("bigint"),
+    )
+
+
+def lang_id_stopwords(df: DataFrame, text_col: str = "text",
+                      langs: dict[str, list[str]] | None = None) -> DataFrame:
+    """Word-level language ID: count stopword hits per language over
+    whitespace tokens; argmax with 'und' ties. Adds {lang}_hits columns +
+    pred_lang."""
+    langs = langs or {"en": EN_STOPWORDS, "vi": VI_STOPWORDS}
+    out = df
+    for lang, words in langs.items():
+        wset = F.array(*[F.lit(w) for w in words])
+        out = out.withColumn(
+            f"{lang}_hits",
+            F.size(F.filter(_tokens(text_col),
+                            lambda x: F.array_contains(wset, x))).cast("bigint"),
+        )
+    names = list(langs)
+    pred = F.lit("und")
+    for lang in names:
+        others = [F.col(f"{o}_hits") for o in names if o != lang]
+        cond = F.col(f"{lang}_hits") > F.greatest(*others) if len(others) > 1 \
+            else F.col(f"{lang}_hits") > others[0]
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return out.withColumn("pred_lang", pred)
+
+
+def lang_id_char_ngrams(df: DataFrame, text_col: str = "text",
+                        ngrams: dict[str, list[str]] | None = None) -> DataFrame:
+    """Char-bigram language ID (occurrence counting via length/replace —
+    zero regex, pure codegen). Adds {lang}_bigrams + pred_lang."""
+    ngrams = ngrams or {"en": ["th", "he", "in", "er", "an"],
+                        "vi": ["ng", "nh", "ch", "uy", "ph"]}
+
+    def count_of(g: str) -> Column:
+        return ((F.length(text_col) -
+                 F.length(F.replace(F.col(text_col), F.lit(g), F.lit(""))))
+                / len(g)).cast("bigint")
+
+    out = df
+    for lang, grams in ngrams.items():
+        total = None
+        for g in grams:
+            total = count_of(g) if total is None else total + count_of(g)
+        out = out.withColumn(f"{lang}_bigrams", total)
+    names = list(ngrams)
+    pred = F.lit("und")
+    for lang in names:
+        others = [F.col(f"{o}_bigrams") for o in names if o != lang]
+        cond = F.col(f"{lang}_bigrams") > F.greatest(*others) if len(others) > 1 \
+            else F.col(f"{lang}_bigrams") > others[0]
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return out.withColumn("pred_lang", pred)
+
+
+def quality_scores(df: DataFrame, text_col: str = "text",
+                   len_target: int = 500, nd: int = 4) -> DataFrame:
+    """Length / repetition / punctuation heuristics → quality_score in
+    [0, 1]: 0.4·length-saturation + 0.3·type-token ratio + 0.3·(1 −
+    punctuation-density). Deterministic, no model."""
+    toks = _tokens(text_col)
+    n_chars = F.length(text_col).cast("double")
+    punct = None
+    for ch in ".,!?":
+        c = F.length(text_col) - F.length(F.replace(F.col(text_col), F.lit(ch), F.lit("")))
+        punct = c if punct is None else punct + c
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    rep = 1.0 - ttr  # repetition = 1 − type-token ratio
+    # NB: 0.3·(1 − rep) not 0.3·ttr — algebraically equal, but float-exact
+    # parity with the DuckDB oracle requires the same operation sequence
+    score = (
+        0.4 * F.least(F.lit(1.0), n_chars / len_target)
+        + 0.3 * (1.0 - rep)
+        + 0.3 * (1.0 - F.least(F.lit(1.0), 10.0 * punct.cast("double") / n_chars))
+    )
+    return (
+        df.withColumn("n_tokens", F.size(toks).cast("bigint"))
+        .withColumn("n_distinct_tokens",
+                    F.size(F.array_distinct(toks)).cast("bigint"))
+        .withColumn("chars_per_token", F.round(n_chars / F.size(toks), nd))
+        .withColumn("repetition_ratio", F.round(rep, nd))
+        .withColumn("punct_ratio", F.round(punct.cast("double") / n_chars, nd))
+        .withColumn("quality_score", F.round(score, 6))
+    )
+
+
+def fingerprints(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", prefix_len: int = 64) -> DataFrame:
+    """Cheap whole-doc fingerprints: min/max token hash + prefix hash —
+    the exact-dup / shard-routing keys."""
+    from .dedup import tokens
+    tok = tokens(df, id_col, text_col)
+    agg = tok.groupBy(id_col).agg(
+        F.substring(F.min(F.md5("token")), 1, 16).alias("fp_min"),
+        F.substring(F.max(F.md5("token")), 1, 16).alias("fp_max"),
+    )
+    pre = df.select(
+        id_col, F.md5(F.substring(F.col(text_col), 1, prefix_len)).alias("fp_prefix"))
+    return agg.join(pre, id_col)
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", window: int = 32,
+                        stride: int = 16, keep: int = 2) -> DataFrame:
+    """Winnowing-style rolling fingerprints: md5 over sliding windows,
+    keep the k lexicographic minima — robust to small edits (the
+    shingle-level near-dup primitive). One row per doc, fp1..fp{keep}."""
+    pos = df.filter(F.length(text_col) >= window).select(
+        id_col,
+        F.explode(F.sequence(F.lit(1), F.length(text_col) - (window - 1),
+                             F.lit(stride))).alias("p"),
+        F.col(text_col).alias("_t"),
+    )
+    grams = pos.select(
+        id_col, F.md5(F.col("_t").substr(F.col("p"), F.lit(window))).alias("g")
+    ).distinct()
+    ranked = grams.withColumn(
+        "rk", F.row_number().over(Window.partitionBy(id_col).orderBy("g"))
+    ).filter(F.col("rk") <= keep)
+    aggs = [
+        F.max(F.when(F.col("rk") == i + 1, F.substring("g", 1, 16)))
+        .alias(f"fp{i + 1}")
+        for i in range(keep)
+    ]
+    return ranked.groupBy(id_col).agg(*aggs)

@@ -50,8 +50,10 @@ def field_warnings(extracted: DataFrame,
         F.when(F.col("is_required") & ~has_value, F.lit(MISSING_REQUIRED)),
         F.when((F.col("field_type") == "DATE") & has_value
                & ~F.col("value").rlike(DATE_VALID_RE), F.lit(BAD_DATE_FORMAT)),
+        # try_cast, not cast: Spark 4 ANSI mode makes a plain cast THROW on
+        # malformed input instead of yielding NULL (DuckDB twin: TRY_CAST)
         F.when((F.col("field_type") == "NUMERIC") & has_value
-               & F.col("value").cast("double").isNull(), F.lit(BAD_NUMERIC)),
+               & F.col("value").try_cast("double").isNull(), F.lit(BAD_NUMERIC)),
         F.when(F.col("field_confidence") < min_confidence, F.lit(LOW_CONFIDENCE)),
     )
     return s.select(
