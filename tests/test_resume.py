@@ -91,3 +91,45 @@ def test_lineage_counters(spark, pages_parquet, tmp_path):
     # every lineage bucket appears once (no double-commit)
     dupes = lin.groupBy("partition_id").count().filter(F.col("count") > 1).count()
     assert dupes == 0
+
+
+def test_staged_input_equivalence_and_pruning(spark, pages_parquet, tmp_path):
+    """stage_input=True: identical output to the scan-per-group path, and
+    the per-group read actually prunes to its partition directory (the
+    scan-amplification fix — each group job must not re-read everything)."""
+    pages = _pages(spark, pages_parquet)
+    ref = runner.run_job(spark, pages, str(tmp_path / "ref"), commit_groups=4)
+    staged = runner.run_job(spark, pages, str(tmp_path / "staged"),
+                            commit_groups=4, stage_input=True)
+    assert _final(staged) == _final(ref)
+    # staged scratch dir is cleaned up after the run
+    import os
+    assert not [d for d in os.listdir(tmp_path / "staged")
+                if d.startswith("_staged_input_")]
+
+
+def test_staged_input_kill_resume(spark, pages_parquet, tmp_path):
+    pages = _pages(spark, pages_parquet)
+    want = _final(runner.run_job(spark, pages, str(tmp_path / "f2"),
+                                 commit_groups=4))
+    out = str(tmp_path / "k2")
+    partial = runner.run_job(spark, pages, out, commit_groups=4, max_groups=2,
+                             stage_input=True)
+    assert 0 < partial.count() < N
+    resumed = runner.run_job(spark, pages, out, commit_groups=4,
+                             stage_input=True)
+    assert _final(resumed) == want
+
+
+def test_staged_partition_filter_prunes(spark, pages_parquet, tmp_path):
+    """The cgroup filter must reach the scan as a partition filter —
+    that is the mechanism that makes staged reads 1/G of the bytes."""
+    pages = _pages(spark, pages_parquet)
+    staged_dir = str(tmp_path / "prune_probe")
+    (pages.select("url", "warc_ts", "html")
+     .withColumn("cgroup", F.pmod(F.xxhash64("url"), F.lit(4)).cast("int"))
+     .write.partitionBy("cgroup").parquet(staged_dir))
+    df = spark.read.parquet(staged_dir).filter(F.col("cgroup") == 2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(cgroup" in plan.replace("#", " #") or \
+        "cgroup" in plan.split("PartitionFilters")[1][:120]
