@@ -152,3 +152,14 @@ def test_validate_field_warnings_all_kinds(spark):
         ("bad_num", validate.BAD_NUMERIC),
         ("low_conf", validate.LOW_CONFIDENCE),
     }
+
+
+def test_hot_token_drop(spark):
+    rows = [(i, f"common unique{i} word{i % 2}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    full = dedup.distinct_tokens(df)
+    dropped = dedup.distinct_tokens(df, max_doc_frac=0.5)
+    toks = {r["token"] for r in dropped.collect()}
+    assert "common" not in toks          # in 100% of docs → dropped
+    assert "word0" in toks and "word1" in toks  # 50% ≤ frac → kept
+    assert full.count() > dropped.count()

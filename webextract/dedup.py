@@ -50,8 +50,24 @@ def tokens(df: DataFrame, id_col: str = "doc_id",
 
 
 def distinct_tokens(df: DataFrame, id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
-    return tokens(df, id_col, text_col).distinct()
+                    text_col: str = "text",
+                    max_doc_frac: float | None = None) -> DataFrame:
+    """Distinct (id, token) pairs. ``max_doc_frac`` drops hot tokens —
+    those appearing in more than that fraction of documents — BEFORE any
+    token self-join: stop-words are the classic quadratic trap in
+    Jaccard/LSH verification (a token in 50% of 10⁹ docs joins 2.5·10¹⁷
+    pairs). The document-frequency pre-pass is one cheap aggregation and
+    the hot set is broadcast (same shape as skew.hot_keys)."""
+    tok = tokens(df, id_col, text_col).distinct()
+    if max_doc_frac is None:
+        return tok
+    n_docs = df.select(id_col).distinct().count()
+    hot = (
+        tok.groupBy("token").agg(F.count("*").alias("df"))
+        .filter(F.col("df") > n_docs * max_doc_frac)
+        .select("token")
+    )
+    return tok.join(F.broadcast(hot), "token", "left_anti")
 
 
 def exact_duplicates(df: DataFrame, key: Column,
