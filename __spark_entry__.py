@@ -404,6 +404,16 @@ def _kw_strip_sql(src: str, kws: list[str]) -> str:
     return f"nullif({_trimws(out)}, '')"
 
 
+# lateral enrichment columns shared by every synthesized-pages CTE: the
+# F11 sentence list and the per-doc entity firsts, all over ``etext``
+_ENRICH_COLS = f"""
+    list_filter(list_transform(regexp_split_to_array(etext, '[.!?;\\n]'),
+                               s -> trim(s, {_WSCH})), s -> s <> '') AS sents,
+    {_ent_sql('etext', 'DATE')} AS ent_date,
+    {_ent_sql('etext', 'NUMBER')} AS ent_num,
+    coalesce({_ent_sql('etext', 'ORGANIZATION')},
+             {_ent_sql('etext', 'PERSON')}) AS ent_text"""
+
 # pages CTE: replays _pages_from_documents + the DOM extraction (the
 # synthesized template's nav/footer are boilerplate-stripped, leaving the
 # h1 + paragraph blocks joined with \n\n) + the per-doc entity firsts and
@@ -433,19 +443,16 @@ pages AS (
                    || (doc_id % 9 + 1) || '/03/2024.'
               ELSE '' END
     END AS etext,
-    list_filter(list_transform(regexp_split_to_array(etext, '[.!?;\\n]'),
-                               s -> trim(s, {_WSCH})), s -> s <> '') AS sents,
-    {_ent_sql('etext', 'DATE')} AS ent_date,
-    {_ent_sql('etext', 'NUMBER')} AS ent_num,
-    coalesce({_ent_sql('etext', 'ORGANIZATION')},
-             {_ent_sql('etext', 'PERSON')}) AS ent_text
+{_ENRICH_COLS}
   FROM pages0)
 """
 
 
-def _field_arm_sql(doc_type: str, name: str, ftype: str, required: bool) -> str:
+def _field_arm_sql(doc_type: str, name: str, ftype: str, required: bool,
+                   src: str = "pages") -> str:
     """One UNION arm of f_rows: the complete two-arm ensemble for one
-    field of one doc type, as lateral-alias SQL (fields.extract_spans)."""
+    field of one doc type, as lateral-alias SQL (fields.extract_spans).
+    ``src``: any CTE exposing url/doc_type/broken/etext + _ENRICH_COLS."""
     pats = _wf.PATTERNS.get(name, [])
     pat_coalesce = ("coalesce(" + ", ".join(_rex1("etext", p) for p in pats) + ")"
                     if pats else "CAST(NULL AS VARCHAR)")
@@ -493,7 +500,7 @@ def _field_arm_sql(doc_type: str, name: str, ftype: str, required: bool) -> str:
               WHEN p_val IS NOT NULL THEN 'proximity'
               WHEN f_val IS NOT NULL THEN 'fallback'
               ELSE 'none' END AS method
-  FROM pages WHERE doc_type = '{doc_type}' AND NOT broken"""
+  FROM {src} WHERE doc_type = '{doc_type}' AND NOT broken"""
 
 
 _F_ROWS_CTE = "f_rows AS (" + "\n  UNION ALL".join(
@@ -582,10 +589,150 @@ SELECT status, doc_type,
 FROM per_url GROUP BY CUBE(status, doc_type)
 """)
 
-_register("extract_pdf_pages", _extract_pdf_pages)  # rows-only — documented
-# irreducible: PDF payloads exist only in the fixture corpus (not
-# derivable from the DuckDB-visible tables); byte parity is pinned by the
-# golden pytest (tests/test_golden.py) instead.
+_register("extract_pdf_pages", _extract_pdf_pages)  # rows-only (fixture
+# PDFs: FlateDecode streams, 2-column layouts, octal escapes — beyond
+# SQL reconstruction; byte parity pinned by the golden pytest). The
+# ORACLE-verified PDF coverage lives in extract_pdf_oracled below, over
+# PDFs synthesized from the documents table.
+
+
+# ----- PDF path, driver-oracled: payloads BUILT IN CATALYST (string
+# concat of a minimal PDF-1.4 subset: two /Type /Page objects + two
+# uncompressed content streams; pdfrun.py discovers objects by scanning,
+# so no xref/offsets are needed) and replayed in SQL — verifying the
+# from-scratch PDF parser, reading-order line assembly, the "\n\n" page
+# join (F2) and the field ensemble over PDF-extracted text end to end.
+
+def _pdf_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    prefix = F.element_at(
+        F.array(F.lit("BIA"), F.lit("MUCLUC"), F.lit("VANBAN")),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+    )
+    broken = F.pmod(F.col("doc_id"), F.lit(19)) == 0
+    did = F.col("doc_id").cast("string")
+    snippet = F.substring("text", 1, 40)
+    pdf = F.concat(
+        F.lit("%PDF-1.4\n"
+              "1 0 obj << /Type /Page /Contents 3 0 R >> endobj\n"
+              "2 0 obj << /Type /Page /Contents 4 0 R >> endobj\n"
+              "3 0 obj << /Length 0 >>\nstream\n"
+              "BT /F1 12 Tf 72 720 Td (Document "),
+        did, F.lit(" trang mot) Tj 0 -20 Td ("), snippet,
+        F.lit(") Tj ET\nendstream\nendobj\n"
+              "4 0 obj << /Length 0 >>\nstream\n"
+              "BT /F1 12 Tf 72 720 Td (Ngay 01/0"),
+        (F.pmod(F.col("doc_id"), F.lit(9)) + 1).cast("string"),
+        F.lit("/2024 tong "),
+        (F.pmod(F.col("doc_id"), F.lit(200)) + 1).cast("string"),
+        F.lit(" trang) Tj ET\nendstream\nendobj\n%%EOF"),
+    )
+    return docs.select(
+        F.concat(F.lit(_SYN_PREFIX), F.lit("pdf/"), prefix, F.lit("_"),
+                 did, F.lit(".pdf")).alias("url"),
+        F.lit(dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)).alias("warc_ts"),
+        F.encode(F.when(broken, F.lit("%PDF-1.4 broken")).otherwise(pdf),
+                 "utf-8").alias("html"),
+        F.col("text"), F.col("lang"),
+    )
+
+
+def _pdf_syn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    from webextract import pipeline
+    pipeline.ship_package(spark)
+    return pipeline.run_extract(_pdf_pages_from_documents(spark, sf_dir),
+                                n_buckets=16)
+
+
+def _extract_pdf_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S4,O7,F2,P2,J1] PDF parser + ensemble, hash-verified: byte-exact
+    per-url text (two pages, line assembly, page join) vs the oracle."""
+    ext = _pdf_syn(spark, sf_dir)
+    return ext.select(
+        "url", "doc_type", "status", "text", "n_pages", "error",
+        F.round("confidence", 4).alias("confidence"),
+        F.size("spans").alias("n_spans"),
+    )
+
+
+def _extract_pdf_pages_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[P2,J1] per-page block rows (page order = reading order) for the
+    synthesized PDFs — the oracled twin of extract_pdf_pages."""
+    ext = _pdf_syn(spark, sf_dir)
+    b = ext.filter(F.col("status") == "COMPLETED").select(
+        "url", "n_pages", F.explode("blocks").alias("b"))
+    return b.select(
+        "url", "n_pages", F.col("b.page").alias("page"),
+        F.col("b.n_chars").alias("page_chars"),
+    )
+
+
+_PDF_CTE = f"""
+pdf0 AS (
+  SELECT doc_id, text,
+         doc_id % 19 = 0 AS broken,
+         ['BIA', 'MUCLUC', 'VANBAN'][(doc_id % 3) + 1] AS prefix
+  FROM documents),
+pdfpages AS (
+  SELECT doc_id, broken,
+    'https://docs.example.org/pdf/' || prefix || '_' || doc_id
+      || '.pdf' AS url,
+    CASE prefix WHEN 'BIA' THEN 'THONG_TIN_HO_SO'
+                WHEN 'MUCLUC' THEN 'MUC_LUC_TAI_LIEU'
+                ELSE 'THONG_TIN_VAN_BAN' END AS doc_type,
+    'Document ' || doc_id || ' trang mot' || chr(10)
+      || substr(text, 1, 40) AS page1,
+    'Ngay 01/0' || (doc_id % 9 + 1) || '/2024 tong '
+      || (doc_id % 200 + 1) || ' trang' AS page2,
+    CASE WHEN broken THEN ''
+         ELSE page1 || chr(10) || chr(10) || page2 END AS etext,
+{_ENRICH_COLS}
+  FROM pdf0)
+"""
+
+_F_ROWS_PDF_CTE = "f_rows_pdf AS (" + "\n  UNION ALL".join(
+    _field_arm_sql(dt_, name, ftype, req, src="pdfpages")
+    for dt_, flds in _wf.DOC_FIELDS.items()
+    for name, ftype, req in flds
+) + ")"
+
+_CONF_PDF_CTE = """
+conf_pdf AS (
+  SELECT url,
+         CASE WHEN count(*) FILTER (WHERE conf > 0) = 0 THEN 0.0
+              ELSE cast(sum(cast(round(conf, 6) as decimal(18,12)))
+                        FILTER (WHERE conf > 0) as double)
+                   / count(*) FILTER (WHERE conf > 0) END AS conf_url,
+         count(*) AS n_fields
+  FROM f_rows_pdf GROUP BY url)
+"""
+
+_PDF_PRELUDE = (f"WITH {_PDF_CTE.strip()},\n{_F_ROWS_PDF_CTE},"
+                f"\n{_CONF_PDF_CTE.strip()}")
+
+_register("extract_pdf_oracled", _extract_pdf_oracled, f"""
+{_PDF_PRELUDE}
+SELECT p.url, p.doc_type,
+       CASE WHEN p.broken THEN 'FAILED' ELSE 'COMPLETED' END AS status,
+       p.etext AS text,
+       CASE WHEN p.broken THEN 0 ELSE 2 END AS n_pages,
+       CASE WHEN p.broken THEN 'ValueError: pdf: no objects found' END AS error,
+       CASE WHEN p.broken THEN 0.0 ELSE round(c.conf_url, 4) END AS confidence,
+       cast(coalesce(c.n_fields, 0) as int) AS n_spans
+FROM pdfpages p LEFT JOIN conf_pdf c ON c.url = p.url
+""")
+
+_register("extract_pdf_pages_oracled", _extract_pdf_pages_oracled, f"""
+WITH {_PDF_CTE.strip()}
+SELECT url, 2 AS n_pages, 0 AS page,
+       cast(length(page1) as int) AS page_chars
+FROM pdfpages WHERE NOT broken
+UNION ALL
+SELECT url, 2 AS n_pages, 1 AS page,
+       cast(length(page2) as int) AS page_chars
+FROM pdfpages WHERE NOT broken
+""")
 
 # decode-stub oracle: the stub kernel (w/h/frames from first/last byte +
 # length, multimodal._decode_one) is SQL-expressible by decoding bytes
