@@ -50,7 +50,8 @@ def pages_corpus(n_docs: int) -> str:
     from webextract import fixtures
 
     os.makedirs(CACHE_DIR, exist_ok=True)
-    path = os.path.join(CACHE_DIR, f"pages_{n_docs}.parquet")
+    path = os.path.join(
+        CACHE_DIR, f"pages_v{fixtures.CONTENT_VERSION}_{n_docs}.parquet")
     if not os.path.exists(path):
         t0 = time.monotonic()
         fixtures.write_pages_parquet(path + ".tmp", n_docs)

@@ -30,6 +30,8 @@ VOCAB = (
 
 HOSTS = ["archive%02d.example.org" % i for i in range(40)]
 EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+# bump when generated content changes: cache keys (bench corpus) include it
+CONTENT_VERSION = 2
 
 
 def mix(i: int, salt: int = 0) -> int:
@@ -86,17 +88,29 @@ def field_sentences(i: int, prefix: str) -> list[str]:
             f"Ghi chú: {words(i, 10, 3)}",
         ]
     if prefix == "MUCLUC":
+        # every ~7th MUCLUC doc embeds its date inside a token: patterns
+        # and the boundary-anchored DATE entity both miss, the generic
+        # DATE fallback (F8, conf 0.6) is the only arm that fires —
+        # pins method='fallback' + a low-confidence span under goldens
+        ngay_sent = (f"thoi gian x{d1} ghi nhan"
+                     if mix(i, 91) % 7 == 0 else f"Ngày tháng: {d1}")
         return [
             f"Số thứ tự: {1 + r % 500}",
             f"Số ký hiệu: {num}",
-            f"Ngày tháng: {d1}",
+            ngay_sent,
             f"Trích yếu nội dung: {title}",
             f"Trang: {pages}",
             f"Ghi chú: {words(i, 10, 3)}",
         ]
+    # every ~5th VANBAN doc phrases its issue date so the regex patterns
+    # miss but all three keywords land in one sentence: the keyword-
+    # proximity arm (M8 analogue, sim 1.0 → conf 0.8) extracts the date —
+    # pins method='proximity' + F10/F11 under goldens
+    issue_sent = (f"xem ngày ban hành của văn bản ấy {d1} nhé"
+                  if mix(i, 90) % 5 == 0 else f"Ngày ban hành: {d1}")
     return [
         f"Số văn bản: {num}",
-        f"Ngày ban hành: {d1}",
+        issue_sent,
         f"Trích yếu: {title}",
         f"Đơn vị ban hành: {unit}",
         f"Người ký: {who}",
