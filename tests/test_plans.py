@@ -85,3 +85,40 @@ def test_native_agg_plan_shape(spark):
     assert plan.count("Exchange") == 1, plan    # single shuffle
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual" in plan, plan
+
+
+def test_salt_never_hashes_payload_columns(spark, pages_parquet):
+    """skew.with_salt(id_cols=...) must hash ONLY the named id columns —
+    round 1 hashed every column, funneling multi-100KB html blobs through
+    xxhash64 just to pick a 4-bit salt (VERDICT r1 #8)."""
+    from webextract import skew
+
+    pages = spark.read.parquet(pages_parquet)
+    import re
+
+    salted = skew.with_salt(pages, skew.host_of("url"), id_cols=["url"])
+    plan = _explain(salted)
+    calls = re.findall(r"xxhash64\(([^)]*)\)", plan)
+    assert calls, plan
+    assert all("html" not in args and "text" not in args for args in calls), calls
+
+
+def test_minhash_signature_frame_is_cached_for_fanout(spark):
+    """dedup.candidate_pairs must reference the signature computation via
+    an InMemoryRelation (persist) — NOT recompute the tokenize→distinct→
+    md5-min subtree per band arm per join side (round-1's 4-10× defect)."""
+    from webextract import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} shared") for i in range(30)],
+        "doc_id bigint, text string")
+    sig = dedup.minhash_signatures(docs, n_hashes=4)
+    try:
+        plan = _explain(dedup.candidate_pairs(sig, bucket_cap=10), "extended")
+        physical = plan.split("== Physical Plan ==")[-1]
+        # BOTH self-join sides must read the cached signature frame —
+        # round 1 recomputed the whole tokenize→distinct→md5-min subtree
+        # per side (and per band)
+        assert physical.count("InMemoryTableScan") >= 2, physical
+    finally:
+        sig.unpersist()
