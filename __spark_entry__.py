@@ -1907,6 +1907,67 @@ _register("ann_lsh_topk", _ann_lsh_topk,
           _ann_lsh_topk_sql(_FLAT_DUCK, "(i - 1)"))
 
 
+# IVF variant: deterministic SAMPLED centroids (n_cells smallest-md5(id)
+# corpus vectors — swap in trained k-means at production scale, same plan
+# shape: assign → co-partition by cell → local exact rank). Distances
+# fold left-to-right over the array in both engines (F.aggregate /
+# list_reduce), so cell assignment is engine-exact.
+_IVF_CELLS = 16
+
+
+def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[ANN scale path #2] webextract.ann.ivf_topk — data-adaptive cells."""
+    _prep(spark)
+    from webextract import ann
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.ivf_topk(emb, k=1, n_cells=_IVF_CELLS,
+                        bucket_cap=_ANN_BUCKET_CAP)
+
+
+_ANN_IVF_SQL = f"""
+WITH seeds AS (
+  SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings
+  ORDER BY md5(cast(vec_id as varchar)), vec_id LIMIT {_IVF_CELLS}),
+assign AS (
+  SELECT e.vec_id, s.cell_id,
+         list_reduce(list_transform(range(1, len(e.embedding) + 1),
+            i -> (cast(e.embedding[i] as double) - cast(s.cvec[i] as double))
+               * (cast(e.embedding[i] as double) - cast(s.cvec[i] as double))),
+            (acc, x) -> acc + x) AS dist
+  FROM embeddings e, seeds s),
+bkt AS (
+  SELECT vec_id, bucket FROM (
+    SELECT vec_id, cell_id AS bucket,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rk
+    FROM assign) WHERE rk = 1),
+flat AS ({_FLAT_DUCK}),
+nrm AS (SELECT vec_id, sqrt(sum(cast(e as double) * cast(e as double))) AS n
+        FROM flat GROUP BY vec_id),
+bktc AS (
+  SELECT vec_id, bucket FROM (
+    SELECT vec_id, bucket,
+           row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rk
+    FROM bkt)
+  WHERE rk <= {_ANN_BUCKET_CAP}),
+pairs AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS c_id
+  FROM bkt a JOIN bktc b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+dots AS (
+  SELECT p.q_id, p.c_id, sum(cast(q.e as double) * cast(c.e as double)) AS dot
+  FROM pairs p JOIN flat q ON q.vec_id = p.q_id
+               JOIN flat c ON c.vec_id = p.c_id AND q.i = c.i
+  GROUP BY p.q_id, p.c_id),
+ranked AS (
+  SELECT q_id, c_id, round(dot / (nq.n * nc.n), 4) AS cosine,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY round(dot / (nq.n * nc.n), 4) DESC, c_id) AS rk
+  FROM dots JOIN nrm nq ON nq.vec_id = q_id JOIN nrm nc ON nc.vec_id = c_id)
+SELECT q_id, c_id AS neighbor_id, cosine FROM ranked WHERE rk = 1
+"""
+
+_register("ann_ivf_topk", _ann_ivf_topk, _ANN_IVF_SQL)
+
+
 # ------------------------------------------------------------ the contract
 
 

@@ -31,6 +31,13 @@ def main() -> None:
     ap.add_argument("--commit-groups", type=int, default=8)
     ap.add_argument("--max-groups", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--stage-input", action="store_true",
+                    help="materialize pending input once, partitioned by "
+                         "commit group (kills the G-fold re-scan on raw, "
+                         "non-bucketed inputs; see runner.py docstring)")
+    ap.add_argument("--sorted-layout", action="store_true",
+                    help="range-partition each commit's output by url for "
+                         "point-lookup min-max pruning")
     args = ap.parse_args()
 
     # under spark-submit the session already exists; standalone we build one
@@ -63,6 +70,7 @@ def main() -> None:
         spark, pages, args.output,
         n_buckets=args.buckets, commit_groups=args.commit_groups,
         max_groups=args.max_groups, resume=not args.no_resume,
+        stage_input=args.stage_input, sorted_layout=args.sorted_layout,
     )
     n = out.count()
     ok = out.filter(out.status == "COMPLETED").count()

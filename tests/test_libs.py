@@ -163,3 +163,13 @@ def test_hot_token_drop(spark):
     assert "common" not in toks          # in 100% of docs → dropped
     assert "word0" in toks and "word1" in toks  # 50% ≤ frac → kept
     assert full.count() > dropped.count()
+
+
+def test_ivf_topk_neighbors_share_cell(emb):
+    cells = {r["vec_id"]: r["bucket"] for r in ann.ivf_assign(
+        emb, ann.ivf_centroids(emb, n_cells=3)).collect()}
+    assert len(set(cells.values())) <= 3
+    out = ann.ivf_topk(emb, k=1, n_cells=3, bucket_cap=64).collect()
+    assert out
+    for r in out:
+        assert cells[r["q_id"]] == cells[r["neighbor_id"]]

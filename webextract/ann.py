@@ -75,9 +75,67 @@ def bucketed_topk(emb: DataFrame, id_col: str = "vec_id",
                   nd: int = 4) -> DataFrame:
     """(q_id, neighbor_id, cosine): each vector's top-k neighbors WITHIN
     its LSH bucket — exact cosine, partition-local ranking."""
+    bkt = lsh_buckets(emb, id_col, vec_col, n_planes)
+    return _topk_within(emb, bkt, id_col, vec_col, k, bucket_cap, nd)
+
+
+def ivf_centroids(emb: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding",
+                  n_cells: int = 16) -> DataFrame:
+    """(cell_id, cvec): deterministic sampled centroids — the ``n_cells``
+    corpus vectors with the smallest md5(id). Sampling (instead of
+    k-means iterations) keeps the structure reproducible and
+    oracle-replayable; at production scale you swap in trained k-means
+    centroids without changing any downstream plan shape."""
+    return (
+        emb.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cvec"))
+    )
+
+
+def ivf_assign(emb: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(id, bucket): nearest-centroid cell per vector. Distances fold
+    LEFT-TO-RIGHT over the array (F.aggregate) in pure double — the same
+    deterministic op sequence the DuckDB oracle replays, so assignments
+    are engine-exact (no groupBy-order float drift). The centroid side is
+    tiny and broadcast; the cross join is N×C rows of (id, cell, dist),
+    never materialized vectors."""
+    sq = F.zip_with(
+        F.col(vec_col), F.col("cvec"),
+        lambda a, b: (a.cast("double") - b.cast("double"))
+        * (a.cast("double") - b.cast("double")),
+    )
+    dist = F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)
+    assign = emb.crossJoin(F.broadcast(centroids)).select(
+        id_col, "cell_id", dist.alias("dist"))
+    w = Window.partitionBy(id_col).orderBy("dist", "cell_id")
+    return (
+        assign.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, F.col("cell_id").alias("bucket"))
+    )
+
+
+def ivf_topk(emb: DataFrame, id_col: str = "vec_id",
+             vec_col: str = "embedding", k: int = 1, n_cells: int = 16,
+             bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+             nd: int = 4) -> DataFrame:
+    """IVF search: assign → co-partition by cell → exact cosine rank
+    within the cell (probe=1). Same scale shape as bucketed_topk with
+    data-adaptive cells instead of fixed hyperplanes."""
+    cells = ivf_assign(emb, ivf_centroids(emb, id_col, vec_col, n_cells),
+                       id_col, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
+    return _topk_within(emb, cells, id_col, vec_col, k, bucket_cap, nd)
+
+
+def _topk_within(emb: DataFrame, bkt: DataFrame, id_col: str, vec_col: str,
+                 k: int, bucket_cap: int | None, nd: int) -> DataFrame:
+    """Shared within-bucket exact-cosine ranking (LSH and IVF paths):
+    candidate side capped deterministically; queries never dropped."""
     flat = flatten(emb, id_col, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
     nrm = norms(flat, id_col)
-    bkt = lsh_buckets(emb, id_col, vec_col, n_planes)
     cand = bkt
     if bucket_cap is not None:
         w = Window.partitionBy("bucket").orderBy(id_col)
