@@ -38,10 +38,13 @@ BENCH_QUERIES = [
     "simhash_doc_hashes",
     "minhash_signatures",
     "lsh_candidate_pairs",
+    "lsh_jaccard_verified",
     "dedup_clusters_bounded",
     "cosine_topk_bruteforce",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "multimodal_decode_stub",
+    "extract_flagship_oracled",
 ]
 
 
@@ -129,7 +132,7 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     result = {
-        "metric": "extraction_wall_sec_240k_docs",
+        "metric": f"extraction_wall_sec_{args.docs}_docs",
         "value": extract["wall_sec"],
         "unit": "sec",
         "queries": queries,
