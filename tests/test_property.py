@@ -44,3 +44,34 @@ def test_total_on_tag_soup(text):
 @given(st.binary(max_size=200))
 def test_total_on_pdf_magic(payload):
     _check("https://fuzz.example.org/docs/MUCLUC_x.pdf", b"%PDF-1.4\n" + payload)
+
+
+# keyword-dense Vietnamese-ish text: drives the proximity + entity arms
+# through arbitrary compositions (the arms round 2 added)
+_KW_WORDS = st.sampled_from([
+    "ngày", "ban", "hành", "ban hành", "số", "hồ sơ", "trang", "tổng số",
+    "trích yếu", "nội dung", "người ký", "ký", "Phòng", "Công ty",
+    "01/02/2024", "9/9/1999", "x01/02/2024", "Nguyễn Văn A", "123/QD-UB",
+    ":", ".", ";", "\n", "!", "?", "von", "123", "đến", "từ",
+])
+
+
+@settings(**COMMON)
+@given(st.lists(_KW_WORDS, max_size=40))
+def test_ensemble_total_on_keyword_soup(parts):
+    from webextract import fields
+
+    text = " ".join(parts)
+    for doc_type in (fields.DOC_BIA, fields.DOC_MUCLUC, fields.DOC_VANBAN):
+        spans, conf = fields.extract_spans(text, doc_type)
+        spans2, conf2 = fields.extract_spans(text, doc_type)
+        assert spans == spans2 and conf == conf2  # deterministic
+        assert 0.0 <= conf <= 1.0
+        for s in spans:
+            assert s["method"] in ("pattern", "proximity", "fallback",
+                                   "entity", "none")
+            assert (s["method"] == "none") == (s["confidence"] == 0.0)
+            if s["start"] >= 0:
+                assert text[s["start"]:s["end"]] == s["value"]
+            if s["method"] == "entity":
+                assert s["confidence"] == fields.ENTITY_CONFIDENCE
