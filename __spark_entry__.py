@@ -760,6 +760,46 @@ FROM b
 """)
 
 
+def _multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[multimodal: resize planning] decode (pUDF stub) → pure-Catalyst
+    aspect-preserving target dims (multimodal.resize_plan). Oracled: the
+    stub dims are hex-derivable, and the scale/floor arithmetic is the
+    same double ops in both engines."""
+    _prep(spark)
+    from webextract import multimodal, pipeline
+    pipeline.ship_package(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("media"), "source")
+    r = multimodal.resize_plan(multimodal.decode_media(docs), max_side=512)
+    return r.filter(F.col("decode_error").isNull()).select(
+        "doc_id", "width", "height", "out_width", "out_height",
+        F.round("scale", 6).alias("scale"))
+
+
+_register("multimodal_resize_plan", _multimodal_resize_plan, f"""
+WITH b AS (
+  SELECT doc_id, octet_length(encode(text)) AS n,
+         upper(hex(encode(text))) AS h
+  FROM documents WHERE octet_length(encode(text)) > 0),
+dims AS (
+  SELECT doc_id,
+         cast(64 + ({_B0} * 31 + n) % 1024 as int) AS width,
+         cast(64 + ({_BL} * 17 + n // 2) % 1024 as int) AS height
+  FROM b),
+planned AS (
+  SELECT doc_id, width, height,
+         CASE WHEN greatest(width, height) > 512
+              THEN 512 / cast(greatest(width, height) as double)
+              ELSE 1.0 END AS scale_raw
+  FROM dims)
+SELECT doc_id, width, height,
+       cast(greatest(floor(width * scale_raw), 1) as int) AS out_width,
+       cast(greatest(floor(height * scale_raw), 1) as int) AS out_height,
+       round(scale_raw, 6) AS scale
+FROM planned
+""")
+
+
 def _multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-facing projection of the feature-extract stage: the 8-bin
     byte-histogram COUNTS recovered exactly from the L1-normalized float
