@@ -1666,6 +1666,46 @@ _register("simhash_doc_hashes", _simhash_doc_hashes,
           _simhash_sql(_DUCK_TOK_NE, "(h >> {b}) & 1"))
 
 
+def _simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[dedup: SimHash pairing] webextract.dedup.simhash_pairs —
+    multi-index banding (guaranteed recall for hamming ≤ 3 with 4 bands)
+    + popcount verification; no O(N²) xor sweep."""
+    _prep(spark)
+    from webextract import dedup
+    docs = _t(spark, sf_dir, "documents")
+    sims = dedup.simhash(docs, "doc_id", "text", bits=16)
+    return dedup.simhash_pairs(
+        sims, "doc_id", "simhash", bits=16, n_bands=4, max_hamming=3,
+        bucket_cap=_LSH_BUCKET_CAP,
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
+             "hamming")
+
+
+_SIMHASH_PAIRS_SQL = f"""
+WITH sh AS ({_simhash_sql(_DUCK_TOK_NE, "(h >> {b}) & 1").strip()}),
+bands AS (
+  SELECT doc_id, simhash16 AS h, unnest([0, 1, 2, 3]) AS band,
+         (h >> (band * 4)) & 15 AS bkey
+  FROM sh),
+bandsc AS (
+  SELECT doc_id, h, band, bkey FROM (
+    SELECT doc_id, h, band, bkey,
+           row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rk
+    FROM bands)
+  WHERE rk <= {_LSH_BUCKET_CAP}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.h AS ha, b.h AS hb
+  FROM bandsc a JOIN bandsc b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, cast(bit_count(xor(ha, hb)) as int) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+"""
+
+_register("simhash_near_dup_pairs", _simhash_near_dup_pairs,
+          _SIMHASH_PAIRS_SQL)
+
+
 _sqlq("embedding_norms", ["embeddings"], """
 SELECT vec_id, label,
        round(sqrt(aggregate(embedding, cast(0.0 as double),

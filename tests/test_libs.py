@@ -173,3 +173,14 @@ def test_ivf_topk_neighbors_share_cell(emb):
     assert out
     for r in out:
         assert cells[r["q_id"]] == cells[r["neighbor_id"]]
+
+
+def test_simhash_pairs_recall_guarantee(spark):
+    # hamming(a,b)=2 ≤ n_bands-1 ⇒ the pair MUST be found via banding
+    rows = [(1, 0b1010101010101010), (2, 0b1010101010101001),  # ham 2
+            (3, 0b0101010101010101)]                           # far from 1
+    df = spark.createDataFrame(rows, "doc_id bigint, simhash bigint")
+    out = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in dedup.simhash_pairs(df, max_hamming=3).collect()}
+    assert out.get((1, 2)) == 2
+    assert (1, 3) not in out and (2, 3) not in out

@@ -211,6 +211,46 @@ def duplicate_clusters(sig: DataFrame, id_col: str = "doc_id",
         F.count("*").alias("n_members"), F.min("node").alias("keep_id"))
 
 
+def simhash_pairs(sims: DataFrame, id_col: str = "doc_id",
+                  hash_col: str = "simhash", bits: int = 16,
+                  n_bands: int = 4, max_hamming: int = 3,
+                  bucket_cap: int | None = DEFAULT_BUCKET_CAP) -> DataFrame:
+    """SimHash near-duplicate pairs via multi-index banding: split the
+    hash into ``n_bands`` equal bit-bands; by pigeonhole, any pair with
+    hamming distance ≤ n_bands − 1 shares at least one exact band —
+    guaranteed recall for ``max_hamming`` ≤ n_bands − 1 with only
+    equi-joins (no O(N²) xor sweep). Candidates are then verified with
+    popcount(xor). Hot bands capped like the MinHash path."""
+    if max_hamming > n_bands - 1:
+        raise ValueError("recall guarantee needs max_hamming <= n_bands - 1")
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    bands = sims.select(
+        id_col, F.col(hash_col).alias("_h"),
+        F.posexplode(F.array(*[
+            F.shiftright(F.col(hash_col), k * band_bits).bitwiseAND(mask)
+            for k in range(n_bands)
+        ])).alias("band", "bkey"),
+    )
+    bands = cap_buckets(bands, id_col, bucket_cap)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a._h").alias("ha"), F.col("b._h").alias("hb"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming",
+                        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 16) -> DataFrame:
     """SimHash over distinct tokens: token hash = first bits/4 hex chars of
