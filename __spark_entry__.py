@@ -1501,6 +1501,42 @@ _register("lsh_candidate_pairs", _lsh_candidate_pairs,
                            cap=_LSH_BUCKET_CAP))
 
 
+# w-shingle variant — the brief's literal dedup shape
+# (shingle→minhash→band→bucket-join): 3-token shingles feed the same
+# signature/banding machinery. Shingles make reordered boilerplate look
+# different (unigram sets don't), so pair counts drop sharply vs the
+# unigram path on this word-soup corpus — that contrast is the point.
+_SHINGLE_N = 3
+
+_DUCK_SHINGLE_TOK = f"""
+SELECT doc_id, unnest(list_transform(
+         range(1, greatest(len(toks) - {_SHINGLE_N - 1}, 0) + 1),
+         i -> array_to_string(toks[i:i + {_SHINGLE_N - 1}], ' '))) AS token
+FROM (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents)
+"""
+
+
+def _lsh_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[dedup: shingle-MinHash-LSH] webextract.dedup.shingles →
+    minhash_signatures_from_tokens → candidate_pairs."""
+    _prep(spark)
+    from webextract import dedup
+    docs = _t(spark, sf_dir, "documents")
+    tok = dedup.shingles(docs, "doc_id", "text", n=_SHINGLE_N)
+    sig = dedup.minhash_signatures_from_tokens(tok, "doc_id", n_hashes=4)
+    return dedup.candidate_pairs(
+        sig, "doc_id", n_hashes=4, bucket_cap=_LSH_BUCKET_CAP
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
+             "n_shared_bands")
+
+
+_register("lsh_shingle_pairs", _lsh_shingle_pairs,
+          _LSH_CORE.format(core=_MINHASH_CORE.format(tok=_DUCK_SHINGLE_TOK),
+                           cap=_LSH_BUCKET_CAP))
+
+
 # n-gram (token-set) Jaccard over all pairs — the exact baseline LSH
 # approximates. Distinct tokens per doc, pair via token equi-join.
 _JACCARD_CORE = """

@@ -184,3 +184,25 @@ def test_simhash_pairs_recall_guarantee(spark):
            for r in dedup.simhash_pairs(df, max_hamming=3).collect()}
     assert out.get((1, 2)) == 2
     assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b")], "doc_id bigint, text string")
+    out = {(r["doc_id"], r["token"]) for r in dedup.shingles(df, n=3).collect()}
+    assert out == {(1, "a b c"), (1, "b c d")}  # doc 2 too short → none
+
+
+def test_shingle_minhash_discriminates_reorder(spark):
+    # identical token SETS, different order: unigram minhash collides,
+    # shingle minhash must not
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6"), (2, "w6 w5 w4 w3 w2 w1")],
+        "doc_id bigint, text string")
+    uni = dedup.minhash_signatures(df, n_hashes=4).collect()
+    u = {r["doc_id"]: (r["h0"], r["h1"], r["h2"], r["h3"]) for r in uni}
+    assert u[1] == u[2]
+    sh = dedup.minhash_signatures_from_tokens(
+        dedup.shingles(df, n=3), n_hashes=4).collect()
+    s = {r["doc_id"]: (r["h0"], r["h1"], r["h2"], r["h3"]) for r in sh}
+    assert s[1] != s[2]

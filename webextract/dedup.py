@@ -70,6 +70,44 @@ def distinct_tokens(df: DataFrame, id_col: str = "doc_id",
     return tok.join(F.broadcast(hot), "token", "left_anti")
 
 
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+             n: int = 3) -> DataFrame:
+    """Distinct w-shingles: every window of ``n`` consecutive whitespace
+    tokens, space-joined — the standard MinHash unit (unigram tokens
+    under-estimate duplication of reordered boilerplate). One row per
+    distinct (id, shingle), emitted as ``token`` so the signature/banding
+    machinery is shared with the unigram path."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    # guard: Spark sequence(1, 0) DESCENDS ([1, 0]) — docs shorter than n
+    # tokens must yield no shingles, not partial ones
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(id_col, F.explode(sh).alias("token"))
+        .distinct()
+    )
+
+
+def minhash_signatures_from_tokens(tok: DataFrame, id_col: str = "doc_id",
+                                   n_hashes: int = 4, prefix_len: int = 12,
+                                   persist: bool = True) -> DataFrame:
+    """Signatures over a prebuilt distinct (id, token) frame — lets any
+    tokenization (unigrams, shingles, char n-grams) feed the same
+    pipeline."""
+    aggs = [
+        F.substring(
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("token")))), 1, prefix_len
+        ).alias(f"h{s}")
+        for s in range(n_hashes)
+    ]
+    return _persist(tok.groupBy(id_col).agg(*aggs), persist)
+
+
 def exact_duplicates(df: DataFrame, key: Column,
                      id_col: str = "doc_id") -> DataFrame:
     """Exact dedup on any derived key (hash-groupBy): groups with >1 member
@@ -89,13 +127,8 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     downstream use (bands × join sides) would otherwise recompute the
     tokenize→distinct→n×md5-min subtree."""
     tok = distinct_tokens(df, id_col, text_col)
-    aggs = [
-        F.substring(
-            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("token")))), 1, prefix_len
-        ).alias(f"h{s}")
-        for s in range(n_hashes)
-    ]
-    return _persist(tok.groupBy(id_col).agg(*aggs), persist)
+    return minhash_signatures_from_tokens(tok, id_col, n_hashes, prefix_len,
+                                          persist)
 
 
 def lsh_bands(sig: DataFrame, id_col: str = "doc_id", n_hashes: int = 4,
