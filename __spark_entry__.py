@@ -1964,15 +1964,66 @@ _register("embedding_near_dup_pairs", _embedding_near_dup_pairs,
           _near_dup_sql(_FLAT_DUCK))
 
 
+# candidate-side member cap for every ANN bucket join (see ann.py)
+_ANN_BUCKET_CAP = 64
+
+
+def _embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[dedup: embedding near-dup, SCALE path] webextract.ann.
+    bucketed_near_dups — threshold pairs searched only within LSH
+    buckets (the all-pairs twin above is the labeled exact baseline)."""
+    _prep(spark)
+    from webextract import ann
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.bucketed_near_dups(emb, threshold=0.4,
+                                  bucket_cap=_ANN_BUCKET_CAP)
+
+
+def _near_dup_bucketed_sql() -> str:
+    projs = ",\n       ".join(
+        f"sum(cast(e as double) * cast((((i - 1) * {7 * j + 3}) % 11) - 5 as double)) AS p{j}"
+        for j in range(8)
+    )
+    bucket = " + ".join(f"(CASE WHEN p{j} > 0 THEN {1 << j} ELSE 0 END)"
+                        for j in range(8))
+    return f"""
+WITH flat AS ({_FLAT_DUCK}),
+nrm AS (SELECT vec_id, sqrt(sum(cast(e as double) * cast(e as double))) AS n
+        FROM flat GROUP BY vec_id),
+proj AS (SELECT vec_id,
+       {projs}
+FROM flat GROUP BY vec_id),
+bkt AS (SELECT vec_id, {bucket} AS bucket FROM proj),
+bktc AS (
+  SELECT vec_id, bucket FROM (
+    SELECT vec_id, bucket,
+           row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rk
+    FROM bkt)
+  WHERE rk <= {_ANN_BUCKET_CAP}),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bktc a JOIN bktc b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+dots AS (
+  SELECT p.vec_a, p.vec_b, sum(cast(q.e as double) * cast(c.e as double)) AS dot
+  FROM pairs p JOIN flat q ON q.vec_id = p.vec_a
+               JOIN flat c ON c.vec_id = p.vec_b AND q.i = c.i
+  GROUP BY p.vec_a, p.vec_b)
+SELECT vec_a, vec_b, round(dot / (na.n * nb.n), 4) AS cosine
+FROM dots JOIN nrm na ON na.vec_id = vec_a JOIN nrm nb ON nb.vec_id = vec_b
+WHERE dot / (na.n * nb.n) >= 0.4
+"""
+
+
+_register("embedding_near_dup_bucketed", _embedding_near_dup_bucketed,
+          _near_dup_bucketed_sql())
+
+
 # IVF/LSH-bucketed ANN search — the scale path: each vector searches ONLY
 # its hyperplane-LSH bucket (candidates shrink from O(N) to O(N/buckets)),
 # then exact cosine ranks within the bucket; nearest neighbor per vector.
 # The CANDIDATE side of each bucket is capped (deterministically, by
-# vec_id) so a degenerate bucket cannot go O(b²); queries are never
-# dropped.
-_ANN_BUCKET_CAP = 64
-
-
+# vec_id, _ANN_BUCKET_CAP above) so a degenerate bucket cannot go O(b²);
+# queries are never dropped.
 def _ann_lsh_topk_sql(flat_src: str, zero_based_i: str) -> str:
     projs = ",\n       ".join(
         f"sum(cast(e as double) * cast((({zero_based_i} * {7 * j + 3}) % 11) - 5 as double)) AS p{j}"

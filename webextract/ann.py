@@ -206,6 +206,50 @@ def cosine_topk(emb: DataFrame, query_ids: list, k: int = 5,
     )
 
 
+def bucketed_near_dups(emb: DataFrame, threshold: float,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       n_planes: int = DEFAULT_PLANES,
+                       bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+                       nd: int = 4) -> DataFrame:
+    """Near-duplicate pairs ABOVE a cosine threshold, searched only
+    within LSH buckets — the scale path near_dup_pairs approximates
+    exactly at O(N²): here candidates are bucket-local (high-cosine
+    pairs land in the same sign-bucket with high probability; more
+    planes / multi-probe trade recall for cost)."""
+    bkt = lsh_buckets(emb, id_col, vec_col, n_planes)
+    cand = bkt
+    if bucket_cap is not None:
+        w = Window.partitionBy("bucket").orderBy(id_col)
+        cand = (bkt.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= bucket_cap).drop("_rk"))
+    a, b = cand.alias("a"), cand.alias("b")
+    pairs = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    ).select(F.col(f"a.{id_col}").alias("vec_a"),
+             F.col(f"b.{id_col}").alias("vec_b"))
+    flat = flatten(emb, id_col, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
+    nrm = norms(flat, id_col)
+    q, c = flat.alias("q"), flat.alias("c")
+    dots = (
+        pairs.join(q, F.col(f"q.{id_col}") == F.col("vec_a"))
+        .join(c, (F.col(f"c.{id_col}") == F.col("vec_b"))
+              & (F.col("q.i") == F.col("c.i")))
+        .groupBy("vec_a", "vec_b")
+        .agg(F.sum(F.col("q.e").cast("double") * F.col("c.e").cast("double"))
+             .alias("dot"))
+    )
+    na, nb = nrm.alias("na"), nrm.alias("nb")
+    return (
+        dots.join(na, F.col(f"na.{id_col}") == F.col("vec_a"))
+        .join(nb, F.col(f"nb.{id_col}") == F.col("vec_b"))
+        .filter(F.col("dot") / (F.col("na.n") * F.col("nb.n")) >= threshold)
+        .select("vec_a", "vec_b",
+                F.round(F.col("dot") / (F.col("na.n") * F.col("nb.n")), nd)
+                .alias("cosine"))
+    )
+
+
 def near_dup_pairs(emb: DataFrame, threshold: float,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    nd: int = 4) -> DataFrame:
