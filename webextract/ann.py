@@ -110,11 +110,13 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
     dist = F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)
     assign = emb.crossJoin(F.broadcast(centroids)).select(
         id_col, "cell_id", dist.alias("dist"))
-    w = Window.partitionBy(id_col).orderBy("dist", "cell_id")
+    # argmin via min(struct(dist, cell_id)) — lexicographic struct min IS
+    # argmin-with-id-tiebreak, and a hash aggregate (map-side combined)
+    # beats a row_number window (full sort of N×C rows) at scale
     return (
-        assign.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .select(id_col, F.col("cell_id").alias("bucket"))
+        assign.groupBy(id_col)
+        .agg(F.min(F.struct("dist", "cell_id")).alias("_best"))
+        .select(id_col, F.col("_best.cell_id").alias("bucket"))
     )
 
 
