@@ -23,6 +23,13 @@ FAST_QUERIES = [
     "simhash_doc_hashes",
     "cosine_topk_bruteforce",
     "multimodal_binary_meta",
+    # round-2 driver-oracled extraction + scale paths: keep the generated
+    # SQL replay in lock-step with the Python spec under plain pytest.
+    # (The remaining oracled queries — warnings, PDF, simhash pairs, … —
+    # run in the full check_entry sweep; these two pin the shared
+    # generated-SQL machinery at ~1 min.)
+    "extract_field_values",
+    "ann_ivf_topk",
 ]
 
 
