@@ -206,3 +206,15 @@ def test_shingle_minhash_discriminates_reorder(spark):
         dedup.shingles(df, n=3), n_hashes=4).collect()
     s = {r["doc_id"]: (r["h0"], r["h1"], r["h2"], r["h3"]) for r in sh}
     assert s[1] != s[2]
+
+
+def test_cluster_pairs_converges_on_chain(spark):
+    # a 7-node chain (diameter 6) — the fixed-k unroll would under-label
+    # this; the fixpoint loop must fully converge to min-label 0
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)] + [(10, 11)],
+        "id_a bigint, id_b bigint")
+    out = {r["node"]: r["cluster_id"]
+           for r in dedup.cluster_pairs(pairs).collect()}
+    assert all(out[i] == 0 for i in range(7))
+    assert out[10] == out[11] == 10

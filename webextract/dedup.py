@@ -244,6 +244,53 @@ def duplicate_clusters(sig: DataFrame, id_col: str = "doc_id",
         F.count("*").alias("n_members"), F.min("node").alias("keep_id"))
 
 
+def cluster_pairs(pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
+                  max_rounds: int = 20, checkpoint_every: int = 5) -> DataFrame:
+    """Connected components over ANY similarity-pair frame (LSH
+    candidates, verified Jaccard pairs, embedding near-dups, …) →
+    (node, cluster_id) with cluster_id = component minimum.
+
+    The iterative-algorithm pattern done properly in Spark:
+    - min-label propagation, one small shuffle per round over the edge
+      list (persisted once);
+    - CONVERGENCE-CHECKED: stops as soon as a round changes no label
+      (``duplicate_clusters``'s fixed k-round unroll is the
+      oracle-replayable variant; this is the library fixpoint);
+    - lineage TRUNCATED with localCheckpoint every ``checkpoint_every``
+      rounds — without it the plan doubles per round and the driver
+      dies of DAG growth long before the cluster does.
+    """
+    fwd = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    nodes = (fwd.select(F.col("a").alias("n"))
+             .unionByName(fwd.select(F.col("b").alias("n"))).distinct())
+    edges = _persist(
+        fwd.unionByName(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .unionByName(nodes.select(F.col("n").alias("a"), F.col("n").alias("b"))),
+        True,
+    )
+    labels = nodes.select(F.col("n").alias("node"), F.col("n").alias("lbl"))
+    labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
+    for rnd in range(max_rounds):
+        nxt = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy(edges.a.alias("node"))
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        if (rnd + 1) % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=False)
+        nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
+        changed = (
+            nxt.alias("n").join(labels.alias("p"), "node")
+            .filter(F.col("n.lbl") != F.col("p.lbl")).limit(1).count()
+        )
+        labels.unpersist()
+        labels = nxt
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("node", F.col("lbl").alias("cluster_id"))
+
+
 def simhash_pairs(sims: DataFrame, id_col: str = "doc_id",
                   hash_col: str = "simhash", bits: int = 16,
                   n_bands: int = 4, max_hamming: int = 3,
