@@ -1604,6 +1604,28 @@ _register("dedup_clusters_bounded", _dedup_clusters_bounded,
           _CLUSTER_CORE.format(core=_MINHASH_CORE.format(tok=_DUCK_TOK_NE)))
 
 
+def _dedup_kept_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[dedup: the deliverable] webextract.dedup.deduplicate — the corpus
+    with every signature-cluster member except the minimum-id keeper
+    removed."""
+    _prep(spark)
+    from webextract import dedup
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.deduplicate(docs, "doc_id", "text", n_hashes=4).select(
+        "doc_id", "lang", "source")
+
+
+_register("dedup_kept_corpus", _dedup_kept_corpus, f"""
+WITH sig AS ({_MINHASH_CORE.format(tok=_DUCK_TOK_NE)}),
+keyed AS (SELECT doc_id, h0 || h1 || h2 || h3 AS k FROM sig),
+st AS (SELECT k, min(doc_id) AS keep, count(*) AS n FROM keyed GROUP BY k)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN keyed ky ON ky.doc_id = d.doc_id
+                 JOIN st ON st.k = ky.k
+WHERE st.n = 1 OR d.doc_id = st.keep
+""")
+
+
 # The scalable dedup pipeline: LSH banding proposes candidates (recall
 # stage, O(collisions), hot buckets capped), exact token-set Jaccard
 # verifies ONLY those pairs (precision stage) — never the O(n²)

@@ -218,3 +218,9 @@ def test_cluster_pairs_converges_on_chain(spark):
            for r in dedup.cluster_pairs(pairs).collect()}
     assert all(out[i] == 0 for i in range(7))
     assert out[10] == out[11] == 10
+
+
+def test_deduplicate_keeps_one_per_cluster(docs):
+    kept = {r["doc_id"] for r in dedup.deduplicate(docs).collect()}
+    # docs 0/1/4 are identical → only 0 survives; others untouched
+    assert kept == {0, 2, 3, 5}

@@ -23,6 +23,18 @@ Layering (see SURVEY.md §7):
   resize plan / frame sampling; stub kernels, real Spark contract)
 - ``fixtures`` — deterministic synthetic pages generator (tests + bench)
 
+Training-data-pipeline library (round 2 — DataFrame-in/DataFrame-out,
+applicable to any user corpus):
+
+- ``dedup``    — exact / shingle-MinHash-LSH / SimHash dedup, Jaccard
+  verification, hot-token dropping, bucket caps, star-wired clustering,
+  convergent cluster_pairs, end-to-end ``deduplicate``
+- ``ann``      — hyperplane-LSH and IVF similarity search, bucketed
+  near-dup pairs, exact baselines
+- ``textstats`` — token counts, language ID, quality scores, winnowing
+  fingerprints
+- ``validate`` — field-warning rows (required/date/numeric/low-conf)
+
 The byte-identical contract: every operator on the golden text path runs
 the SAME Python code in the single-node oracle and inside the Spark
 pandas UDFs (shared modules), so the Spark output is byte-identical per

@@ -331,6 +331,30 @@ def simhash_pairs(sims: DataFrame, id_col: str = "doc_id",
     )
 
 
+def deduplicate(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", n_hashes: int = 4,
+                rounds: int = 3, persist: bool = True) -> DataFrame:
+    """End-to-end MinHash dedup: returns ``df`` with every duplicate-
+    cluster member EXCEPT the keeper (minimum id) removed — the actual
+    deliverable of a training-data dedup stage. Cluster granularity =
+    full-signature collisions (each doc has exactly one signature key, so
+    buckets ARE the connected components — no propagation needed); for
+    looser matching, build pairs with candidate_pairs / jaccard_verify
+    and cluster with cluster_pairs instead."""
+    del rounds  # kept for signature stability; bucket dedup needs none
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, persist=persist)
+    key = F.concat(*[F.col(f"h{s}") for s in range(n_hashes)])
+    keyed = sig.select(F.col(id_col).alias("_m"), key.alias("_k"))
+    w_min = keyed.groupBy("_k").agg(F.min("_m").alias("_keep"),
+                                    F.count("*").alias("_n"))
+    drop = (
+        keyed.join(w_min, "_k")
+        .filter((F.col("_n") > 1) & (F.col("_m") != F.col("_keep")))
+        .select(F.col("_m").alias(id_col))
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 16) -> DataFrame:
     """SimHash over distinct tokens: token hash = first bits/4 hex chars of
