@@ -1782,26 +1782,7 @@ FROM embeddings
 # Brute-force cosine top-k (the exact ANN baseline): queries = vec_id 0..2,
 # k = 5. Dot products via position join; ranking on the ROUNDED similarity
 # with vec_id tiebreak so both engines pick identical neighbor sets.
-_COSINE_SPARK = """
-WITH flat AS (SELECT vec_id, posexplode(embedding) AS (i, e) FROM embeddings),
-nrm AS (SELECT vec_id, sqrt(sum(cast(e as double) * cast(e as double))) AS n
-        FROM flat GROUP BY vec_id),
-dots AS (
-  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-         sum(cast(q.e as double) * cast(c.e as double)) AS dot
-  FROM flat q JOIN flat c ON q.i = c.i AND q.vec_id <> c.vec_id
-  WHERE q.vec_id IN (0, 1, 2)
-  GROUP BY q.vec_id, c.vec_id),
-sims AS (
-  SELECT q_id, c_id, round(dot / (nq.n * nc.n), 4) AS cosine
-  FROM dots JOIN nrm nq ON nq.vec_id = q_id JOIN nrm nc ON nc.vec_id = c_id),
-ranked AS (
-  SELECT q_id, c_id, cosine,
-         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
-  FROM sims)
-SELECT q_id, rank, c_id AS neighbor_id, cosine FROM ranked WHERE rank <= 5
-"""
-
+# (Spark side lives in webextract.ann.cosine_topk.)
 _COSINE_DUCK = """
 WITH flat AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
                      unnest(embedding) AS e FROM embeddings),

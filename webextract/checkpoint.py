@@ -16,6 +16,14 @@ Reference analogue: the in-memory result store + reprocess-from-cache
 (ocr-ai-service/app/services/document_service.py:44,253-282, S5/C4).
 On a real deployment swap this for ``df.writeTo("cat.db.tbl").append()``;
 the runner only uses append/read/latest_version.
+
+Concurrency scope: the shim assumes ONE writer per table root (the
+runner's commit loop is sequential). Two concurrent runners appending to
+the same root could interleave the manifest read-modify-write and drop
+each other's snapshot — a real Iceberg catalog serializes commits with
+optimistic retry, which is exactly what you get on the swap above. The
+north-rule resume story (one job at a time, killed and restarted) never
+has two live writers.
 """
 
 from __future__ import annotations
