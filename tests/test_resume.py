@@ -131,5 +131,6 @@ def test_staged_partition_filter_prunes(spark, pages_parquet, tmp_path):
      .write.partitionBy("cgroup").parquet(staged_dir))
     df = spark.read.parquet(staged_dir).filter(F.col("cgroup") == 2)
     plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, "filter never reached the scan"
     assert "PartitionFilters: [isnotnull(cgroup" in plan.replace("#", " #") or \
         "cgroup" in plan.split("PartitionFilters")[1][:120]

@@ -60,6 +60,20 @@ def completed_buckets(spark: SparkSession, catalog: Catalog) -> set[int]:
     return {r["partition_id"] for r in rows}
 
 
+def _sweep_stale_staged(out_root: str) -> None:
+    """Remove `_staged_input_*` scratch dirs left by a killed run. The
+    in-run try/finally covers exceptions, but a SIGKILL (the failure mode
+    the runner is designed around) skips finally blocks — and each resume
+    uses a fresh run_id, so stale full-payload copies would accumulate."""
+    try:
+        entries = os.listdir(out_root)
+    except FileNotFoundError:
+        return
+    for e in entries:
+        if e.startswith("_staged_input_"):
+            shutil.rmtree(os.path.join(out_root, e), ignore_errors=True)
+
+
 def run_job(
     spark: SparkSession,
     pages: DataFrame,
@@ -82,6 +96,7 @@ def run_job(
     instead of re-scanning everything (see module docstring)."""
     run_id = run_id or pipeline.new_run_id()
     catalog = Catalog(out_root)
+    _sweep_stale_staged(out_root)
     done = completed_buckets(spark, catalog) if resume else set()
 
     # lineage-driven anti-join resume: done buckets never re-read payloads
@@ -99,47 +114,50 @@ def run_job(
         prepped = prepped.join(F.broadcast(done_df), "bucket", "left_anti")
 
     staged_dir = None
-    if stage_input and any(pending_groups):
-        staged_dir = os.path.join(out_root, f"_staged_input_{run_id}")
-        (
-            prepped.select("url", "warc_ts", "html", "doc_type", "bucket")
-            .withColumn(
-                "cgroup",
-                F.expr(f"CAST(bucket * {commit_groups} DIV {n_buckets} AS INT)"))
-            .write.partitionBy("cgroup").mode("overwrite").parquet(staged_dir)
-        )
-        prepped = spark.read.parquet(staged_dir)
-
-    processed = 0
-    for g, buckets in enumerate(pending_groups):
-        if not buckets:
-            continue
-        if max_groups is not None and processed >= max_groups:
-            break
-        if staged_dir is not None:
-            # partition-column filter → directory pruning: reads 1/G bytes
-            chunk = prepped.filter(F.col("cgroup") == g).drop("cgroup")
-        else:
-            chunk = prepped.filter(F.col("bucket").isin(buckets))
-        extracted = pipeline.run_extract_full(chunk, n_buckets, repartition=True)
-        # one pass per group: cache so extracted + lineage don't recompute
-        extracted = extracted.persist()
-        try:
-            out_rows = extracted.select(*pipeline.EXTRACTED_COLUMNS)
-            if sorted_layout:
-                out_rows = pipeline.layout_by_url(out_rows)
-            catalog.append(EXTRACTED_TABLE, out_rows)
-            catalog.append(
-                LINEAGE_TABLE, pipeline.lineage_of(extracted, run_id, "final")
+    try:
+        if stage_input and any(pending_groups):
+            staged_dir = os.path.join(out_root, f"_staged_input_{run_id}")
+            (
+                prepped.select("url", "warc_ts", "html", "doc_type", "bucket")
+                .withColumn(
+                    "cgroup",
+                    F.expr(f"CAST(bucket * {commit_groups} DIV {n_buckets} AS INT)"))
+                .write.partitionBy("cgroup").mode("overwrite").parquet(staged_dir)
             )
-        finally:
-            extracted.unpersist()
-        processed += 1
+            prepped = spark.read.parquet(staged_dir)
 
-    if staged_dir is not None:
-        # staged copy is scratch, not a checkpoint: resume re-stages the
-        # (anti-joined) remainder, so drop it even after a partial run
-        shutil.rmtree(staged_dir, ignore_errors=True)
+        processed = 0
+        for g, buckets in enumerate(pending_groups):
+            if not buckets:
+                continue
+            if max_groups is not None and processed >= max_groups:
+                break
+            if staged_dir is not None:
+                # partition-column filter → directory pruning: reads 1/G bytes
+                chunk = prepped.filter(F.col("cgroup") == g).drop("cgroup")
+            else:
+                chunk = prepped.filter(F.col("bucket").isin(buckets))
+            extracted = pipeline.run_extract_full(chunk, n_buckets,
+                                                  repartition=True)
+            # one pass per group: cache so extracted + lineage don't recompute
+            extracted = extracted.persist()
+            try:
+                out_rows = extracted.select(*pipeline.EXTRACTED_COLUMNS)
+                if sorted_layout:
+                    out_rows = pipeline.layout_by_url(out_rows)
+                catalog.append(EXTRACTED_TABLE, out_rows)
+                catalog.append(
+                    LINEAGE_TABLE, pipeline.lineage_of(extracted, run_id, "final")
+                )
+            finally:
+                extracted.unpersist()
+            processed += 1
+    finally:
+        if staged_dir is not None:
+            # staged copy is scratch, not a checkpoint: resume re-stages the
+            # (anti-joined) remainder, so drop it even on a failed run —
+            # it is a full column-pruned payload copy, not something to leak
+            shutil.rmtree(staged_dir, ignore_errors=True)
 
     out = catalog.read(spark, EXTRACTED_TABLE)
     if out is None:
