@@ -2138,12 +2138,313 @@ SELECT q_id, c_id AS neighbor_id, cosine FROM ranked WHERE rk = 1
 _register("ann_ivf_topk", _ann_ivf_topk, _ANN_IVF_SQL)
 
 
+# ============================================== production-preset evidence
+# Round-2 verdict #2: the dedup machinery is parameterized but only demo
+# presets (4 hashes, 16-bit simhash) were ever oracled; 64-bit shifts and
+# 128-column signatures are where engine-dialect surprises live. These
+# two queries run the documented production shapes end-to-end under the
+# DuckDB oracle's eyes.
+
+_PROD_HASHES = 128
+_PROD_ROWS_PER_BAND = 8  # 128 hashes / 8 rows = 16 bands
+_PROD_BANDS = _PROD_HASHES // _PROD_ROWS_PER_BAND
+
+
+def _minhash_core_sql(tok: str, n_hashes: int, prefix_len: int = 12) -> str:
+    cols = ",\n       ".join(
+        f"substr(min(md5('{s}:' || token)), 1, {prefix_len}) AS h{s}"
+        for s in range(n_hashes))
+    return (f"SELECT doc_id,\n       {cols}\n"
+            f"FROM (SELECT DISTINCT doc_id, token FROM ({tok})) GROUP BY doc_id")
+
+
+def _lsh_candidate_pairs_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[dedup: LSH recall, PRODUCTION preset] 128 minhashes / 16 bands of
+    8 rows — the docstring-promised production sizing of
+    webextract.dedup.minhash_signatures + candidate_pairs. 8-row bands
+    are far stricter than the 2-row demo: only near-identical token sets
+    collide, so this also evidences the precision end of the banding
+    dial."""
+    _prep(spark)
+    from webextract import dedup
+    docs = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, "doc_id", "text",
+                                   n_hashes=_PROD_HASHES)
+    return dedup.candidate_pairs(
+        sig, "doc_id", n_hashes=_PROD_HASHES,
+        rows_per_band=_PROD_ROWS_PER_BAND, bucket_cap=_LSH_BUCKET_CAP,
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
+             "n_shared_bands")
+
+
+def _lsh_prod_sql() -> str:
+    band_arms = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, "
+        + " || ".join(f"h{b * _PROD_ROWS_PER_BAND + r}"
+                      for r in range(_PROD_ROWS_PER_BAND))
+        + " AS bkey FROM sig"
+        for b in range(_PROD_BANDS))
+    return f"""
+WITH sig AS ({_minhash_core_sql(_DUCK_TOK_NE, _PROD_HASHES)}),
+bands AS (
+{band_arms}),
+bandsc AS (
+  SELECT doc_id, band, bkey FROM (
+    SELECT doc_id, band, bkey,
+           row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rk
+    FROM bands)
+  WHERE rk <= {_LSH_BUCKET_CAP})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+FROM bandsc a JOIN bandsc b
+  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+_register("lsh_candidate_pairs_prod", _lsh_candidate_pairs_prod,
+          _lsh_prod_sql())
+
+
+def _simhash_prod_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[dedup: SimHash, PRODUCTION preset] 64-bit simhash (4 bands of 16
+    bits, hamming ≤ 3). Exercises the two's-complement bigint hash path
+    (token hashes ≥ 2^63 wrap negative — the r2-ADVICE overflow fix) in
+    both engines: the oracle assembles the unsigned value in hugeint and
+    wraps explicitly."""
+    _prep(spark)
+    from webextract import dedup
+    docs = _t(spark, sf_dir, "documents")
+    sims = dedup.simhash(docs, "doc_id", "text", bits=64)
+    return dedup.simhash_pairs(
+        sims, "doc_id", "simhash", bits=64, n_bands=4, max_hamming=3,
+        bucket_cap=_LSH_BUCKET_CAP,
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
+             "hamming")
+
+
+def _simhash64_sql() -> str:
+    # unsigned 64-bit token hash from 16 md5 nibbles, in hugeint (DuckDB
+    # bigint arithmetic would overflow at >= 2^63, exactly the trap the
+    # Spark side dodges with two 32-bit conv halves)
+    nibbles = " + ".join(
+        f"cast(instr('0123456789abcdef', substr(md5(token), {p + 1}, 1)) - 1 "
+        f"as hugeint) * {16 ** (15 - p)}"
+        for p in range(16))
+    bit_sums = ",\n       ".join(
+        f"sum(CASE WHEN (u // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(64))
+    # unsigned recombine (hugeint), per-band 16-bit keys, band-summed
+    # hamming — bit-identical to Spark's signed-bigint shiftright path
+    recombine = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN cast({1 << b} as hugeint) "
+        f"ELSE cast(0 as hugeint) END)"
+        for b in range(64))
+    band_arms = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, u, {k} AS band, "
+        f"cast((u // {1 << (k * 16)}) % 65536 as bigint) AS bkey FROM sh"
+        for k in range(4))
+    hamming = " + ".join(
+        f"bit_count(xor(cast((ua // {1 << (k * 16)}) % 65536 as bigint), "
+        f"cast((ub // {1 << (k * 16)}) % 65536 as bigint)))"
+        for k in range(4))
+    return f"""
+WITH tok AS (SELECT DISTINCT doc_id, token FROM ({_DUCK_TOK_NE})),
+th AS (SELECT doc_id, {nibbles} AS u FROM tok),
+bits AS (SELECT doc_id,
+       {bit_sums}
+FROM th GROUP BY doc_id),
+sh AS (SELECT doc_id, {recombine} AS u FROM bits),
+bands AS (
+{band_arms}),
+bandsc AS (
+  SELECT doc_id, u, band, bkey FROM (
+    SELECT doc_id, u, band, bkey,
+           row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rk
+    FROM bands)
+  WHERE rk <= {_LSH_BUCKET_CAP}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.u AS ua, b.u AS ub
+  FROM bandsc a JOIN bandsc b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, cast({hamming} as int) AS hamming
+FROM cand WHERE {hamming} <= 3
+"""
+
+
+_register("simhash_prod_pairs", _simhash_prod_pairs, _simhash64_sql())
+
+
+# ====================================================== ANN recall gate
+# Round-2 verdict #3: the bucketed/IVF paths trade recall for cost but
+# nothing measured it. recall@k of both scale paths against the exact
+# brute-force baseline, on the same fixture, in one SQL-expressible
+# query — the dial a training-data pipeline tunes n_planes / n_cells by.
+
+_RECALL_K = 5
+# the gate runs LSH at a bucket granularity matched to the fixture:
+# recall@k needs E[bucket] ≥ k (4 planes → 16 buckets ≈ 31 members at
+# sf0.01's 500 vectors); the 8-plane preset used by the throughput
+# queries leaves ~2 members/bucket where top-5 recall cannot exist.
+# n_planes is exactly the dial this query exists to tune.
+_RECALL_PLANES = 4
+
+
+def _ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[ANN recall gate] recall@5 of bucketed_topk (hyperplane LSH) and
+    ivf_topk (sampled centroids) vs cosine_topk(None) exact baseline:
+    (method, n_hits, n_queries, recall_at_k)."""
+    _prep(spark)
+    from webextract import ann
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = (ann.cosine_topk(emb, None, k=_RECALL_K)
+             .select("q_id", "neighbor_id").persist())
+    lsh = ann.bucketed_topk(emb, k=_RECALL_K, n_planes=_RECALL_PLANES,
+                            bucket_cap=_ANN_BUCKET_CAP) \
+        .select("q_id", "neighbor_id")
+    ivf = ann.ivf_topk(emb, k=_RECALL_K, n_cells=_IVF_CELLS,
+                       bucket_cap=_ANN_BUCKET_CAP) \
+        .select("q_id", "neighbor_id")
+    appr = (lsh.withColumn("method", F.lit("lsh"))
+            .unionByName(ivf.withColumn("method", F.lit("ivf"))))
+    hits = (appr.join(exact, ["q_id", "neighbor_id"])
+            .groupBy("method").agg(F.count("*").alias("n_hits")))
+    base = exact.agg(F.countDistinct("q_id").alias("n_queries"))
+    return hits.crossJoin(base).select(
+        "method", "n_hits", "n_queries",
+        F.round(F.col("n_hits") / (F.col("n_queries") * _RECALL_K), 4)
+        .alias("recall_at_k"))
+
+
+def _ann_recall_sql() -> str:
+    k = _RECALL_K
+    projs = ",\n       ".join(
+        f"sum(cast(e as double) * cast((((i - 1) * {7 * j + 3}) % 11) - 5 as double)) AS p{j}"
+        for j in range(_RECALL_PLANES))
+    bucket = " + ".join(f"(CASE WHEN p{j} > 0 THEN {1 << j} ELSE 0 END)"
+                        for j in range(_RECALL_PLANES))
+    rank = ("row_number() OVER (PARTITION BY q_id "
+            "ORDER BY round(dot / (nq.n * nc.n), 4) DESC, c_id)")
+    return f"""
+WITH flat AS ({_FLAT_DUCK}),
+nrm AS (SELECT vec_id, sqrt(sum(cast(e as double) * cast(e as double))) AS n
+        FROM flat GROUP BY vec_id),
+exdots AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         sum(cast(q.e as double) * cast(c.e as double)) AS dot
+  FROM flat q JOIN flat c ON q.i = c.i AND q.vec_id <> c.vec_id
+  GROUP BY q.vec_id, c.vec_id),
+exact AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id, {rank} AS rk
+    FROM exdots JOIN nrm nq ON nq.vec_id = q_id
+                JOIN nrm nc ON nc.vec_id = c_id)
+  WHERE rk <= {k}),
+proj AS (SELECT vec_id,
+       {projs}
+FROM flat GROUP BY vec_id),
+bkt AS (SELECT vec_id, {bucket} AS bucket FROM proj),
+bktc AS (
+  SELECT vec_id, bucket FROM (
+    SELECT vec_id, bucket,
+           row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rk
+    FROM bkt)
+  WHERE rk <= {_ANN_BUCKET_CAP}),
+lshdots AS (
+  SELECT p.q_id, p.c_id, sum(cast(q.e as double) * cast(c.e as double)) AS dot
+  FROM (SELECT a.vec_id AS q_id, b.vec_id AS c_id
+        FROM bkt a JOIN bktc b ON a.bucket = b.bucket
+                   AND a.vec_id <> b.vec_id) p
+  JOIN flat q ON q.vec_id = p.q_id
+  JOIN flat c ON c.vec_id = p.c_id AND q.i = c.i
+  GROUP BY p.q_id, p.c_id),
+lshk AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id, {rank} AS rk
+    FROM lshdots JOIN nrm nq ON nq.vec_id = q_id
+                 JOIN nrm nc ON nc.vec_id = c_id)
+  WHERE rk <= {k}),
+seeds AS (
+  SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings
+  ORDER BY md5(cast(vec_id as varchar)), vec_id LIMIT {_IVF_CELLS}),
+assign AS (
+  SELECT e.vec_id, s.cell_id,
+         list_reduce(list_transform(range(1, len(e.embedding) + 1),
+            i -> (cast(e.embedding[i] as double) - cast(s.cvec[i] as double))
+               * (cast(e.embedding[i] as double) - cast(s.cvec[i] as double))),
+            (acc, x) -> acc + x) AS dist
+  FROM embeddings e, seeds s),
+ivfbkt AS (
+  SELECT vec_id, bucket FROM (
+    SELECT vec_id, cell_id AS bucket,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rk
+    FROM assign) WHERE rk = 1),
+ivfbktc AS (
+  SELECT vec_id, bucket FROM (
+    SELECT vec_id, bucket,
+           row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rk
+    FROM ivfbkt)
+  WHERE rk <= {_ANN_BUCKET_CAP}),
+ivfdots AS (
+  SELECT p.q_id, p.c_id, sum(cast(q.e as double) * cast(c.e as double)) AS dot
+  FROM (SELECT a.vec_id AS q_id, b.vec_id AS c_id
+        FROM ivfbkt a JOIN ivfbktc b ON a.bucket = b.bucket
+                      AND a.vec_id <> b.vec_id) p
+  JOIN flat q ON q.vec_id = p.q_id
+  JOIN flat c ON c.vec_id = p.c_id AND q.i = c.i
+  GROUP BY p.q_id, p.c_id),
+ivfk AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id, {rank} AS rk
+    FROM ivfdots JOIN nrm nq ON nq.vec_id = q_id
+                 JOIN nrm nc ON nc.vec_id = c_id)
+  WHERE rk <= {k}),
+appr AS (
+  SELECT 'lsh' AS method, q_id, c_id FROM lshk
+  UNION ALL
+  SELECT 'ivf' AS method, q_id, c_id FROM ivfk),
+hits AS (
+  SELECT method, cast(count(*) as bigint) AS n_hits
+  FROM appr JOIN exact USING (q_id, c_id) GROUP BY method),
+base AS (SELECT cast(count(DISTINCT q_id) as bigint) AS n_queries FROM exact)
+SELECT method, n_hits, n_queries,
+       round(n_hits / cast(n_queries * {k} as double), 4) AS recall_at_k
+FROM hits, base
+"""
+
+
+_register("ann_recall_at_k", _ann_recall_at_k, _ann_recall_sql())
+
+
 # ------------------------------------------------------------ the contract
+
+# Driver sampling is capped (~50 of the registry per round, in iteration
+# order), so iteration order IS the verification-priority queue
+# (VERDICT r2 #5). Queries with no driver-green row yet — the round-2
+# unsampled tail plus everything new this round — go first; the tail is
+# all queries already driver-verified in r1/r2.
+_PRIORITY = [
+    # new this round — never seen by any driver
+    "lsh_candidate_pairs_prod", "simhash_prod_pairs", "ann_recall_at_k",
+    # registered in r1/r2 but never driver-sampled
+    "dedup_kept_corpus", "simhash_near_dup_pairs", "token_counts_regex",
+    "winnow_fingerprints", "coalesce_first_match", "embedding_near_dup_pairs",
+    "embedding_near_dup_bucketed", "ann_lsh_topk", "ann_ivf_topk",
+    # driver-green in r1 only (one row each) — next in line
+    "dedup_clusters_bounded", "lsh_jaccard_verified", "simhash_doc_hashes",
+    "embedding_norms", "cosine_topk_bruteforce", "ann_lsh_buckets",
+    "multimodal_binary_meta",
+]
+
+
+def _ordered() -> list[str]:
+    front = [n for n in _PRIORITY if n in _QUERIES]
+    return front + [n for n in _QUERIES if n not in set(front)]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_QUERIES)
+    return {n: _QUERIES[n] for n in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    return {n: _ORACLES[n] for n in _ordered() if n in _ORACLES}

@@ -224,3 +224,115 @@ def test_deduplicate_keeps_one_per_cluster(docs):
     kept = {r["doc_id"] for r in dedup.deduplicate(docs).collect()}
     # docs 0/1/4 are identical → only 0 survives; others untouched
     assert kept == {0, 2, 3, 5}
+
+
+# ------------------------------------------------ round-3 additions
+
+
+def test_simhash_64bit_no_nulls(docs):
+    # ADVICE r2: conv(hex,16,10).cast(bigint) overflowed for token hashes
+    # >= 2^63, nulling ~half of all 64-bit simhashes. The two-half
+    # assembly must yield a non-null signed hash for every doc, with
+    # exact dups still colliding.
+    out = {r["doc_id"]: r["simhash"]
+           for r in dedup.simhash(docs, bits=64).collect()}
+    assert all(v is not None for v in out.values())
+    assert out[0] == out[1] == out[4]
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")  # noqa: E731
+    assert ham(out[0], out[2]) <= ham(out[0], out[3])
+
+
+def test_simhash_rejects_bad_bits(docs):
+    with pytest.raises(ValueError):
+        dedup.simhash(docs, bits=65)
+
+
+def test_cap_buckets_semantics_and_no_window(spark):
+    # 1 bucket, 250 members, cap 10 ⇒ exactly ids 0..9 survive, and the
+    # plan must be aggregation-shaped (no single-task Window sort)
+    rows = [(i, 0, "k") for i in range(250)]
+    df = spark.createDataFrame(rows, "doc_id bigint, band int, bkey string")
+    capped = dedup.cap_buckets(df, "doc_id", bucket_cap=10)
+    assert sorted(r["doc_id"] for r in capped.collect()) == list(range(10))
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Aggregate" in plan
+
+
+def test_cap_buckets_preserves_extra_columns(spark):
+    rows = [(i, 0, "k", f"x{i}") for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, band int, bkey string, extra string")
+    got = {r["doc_id"]: r["extra"]
+           for r in dedup.cap_buckets(df, "doc_id", bucket_cap=5).collect()}
+    assert got == {i: f"x{i}" for i in range(5)}
+
+
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    # 3 tight clusters of 10 vectors in 4-dim — the fixture where ANN
+    # partitioning is actually meaningful (the uniform fixture is not)
+    rows = []
+    centers = [(10.0, 0.0, 0.0, 1.0), (0.0, 10.0, 0.0, 1.0),
+               (0.0, 0.0, 10.0, 1.0)]
+    for i in range(30):
+        c = centers[i % 3]
+        off = 0.05 * (i // 3)
+        rows.append((i, [c[0] + off, c[1] - off, c[2] + 2 * off, c[3]]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_ivf_kmeans_improves_centroids(clustered_emb):
+    # Lloyd-refined centroids must cut within-cell SSE vs the sampled
+    # init (means minimize SSE; sampled centroids are corpus points)
+    import math
+
+    vecs = {r["vec_id"]: r["embedding"]
+            for r in clustered_emb.collect()}
+
+    def sse(cents_df):
+        cents = [list(r["cvec"]) for r in cents_df.collect()]
+        total = 0.0
+        for v in vecs.values():
+            total += min(sum((a - b) ** 2 for a, b in zip(v, c))
+                         for c in cents)
+        return total
+
+    sampled = sse(ann.ivf_centroids(clustered_emb, n_cells=3))
+    trained = sse(ann.ivf_centroids_kmeans(clustered_emb, n_cells=3, iters=2))
+    assert trained < sampled
+    assert math.isfinite(trained)
+
+
+def test_ann_recall_on_clustered_fixture(clustered_emb):
+    # exact top-3 of each vector = its own tight cluster ⇒ a correct IVF
+    # assignment recovers nearly all of them (the recall-gate machinery)
+    exact = {(r["q_id"], r["neighbor_id"])
+             for r in ann.cosine_topk(clustered_emb, None, k=3).collect()}
+    approx = {(r["q_id"], r["neighbor_id"])
+              for r in ann.ivf_topk(clustered_emb, k=3, n_cells=3,
+                                    bucket_cap=64).collect()}
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.8, f"ivf recall@3 {recall:.2f} on clustered fixture"
+
+
+def test_cluster_pairs_warns_when_unconverged(spark):
+    import warnings as w
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a bigint, id_b bigint")
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        dedup.cluster_pairs(pairs, max_rounds=2).collect()
+    assert any("did NOT converge" in str(x.message) for x in rec)
+
+
+def test_cache_release_unpersists(docs):
+    from webextract import cache
+
+    sig = dedup.minhash_signatures(docs, n_hashes=4)
+    sig.count()
+    assert sig.storageLevel.useMemory or sig.storageLevel.useDisk
+    n = cache.release(sig)
+    assert n >= 1
+    assert not (sig.storageLevel.useMemory or sig.storageLevel.useDisk)
+    assert cache.release(sig) == 0  # idempotent

@@ -260,17 +260,20 @@ def _topk_within(emb: DataFrame, bkt: DataFrame, id_col: str, vec_col: str,
     return _track(out, vecs, bkt)
 
 
-def cosine_topk(emb: DataFrame, query_ids: list, k: int = 5,
+def cosine_topk(emb: DataFrame, query_ids: list | None, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 nd: int = 4) -> DataFrame:
     """Exact brute-force top-k for an explicit (small) query set — the
-    baseline the bucketed path approximates. (q_id, rank, neighbor_id,
-    cosine). The query side is broadcast; every corpus vector is scored
-    once per query (one row per pair, arrays in-row)."""
+    baseline the bucketed path approximates; ``query_ids=None`` ranks
+    EVERY vector (the recall-oracle mode: O(N²), fixture scale only).
+    (q_id, rank, neighbor_id, cosine). The query side is broadcast;
+    every corpus vector is scored once per query (one row per pair,
+    arrays in-row)."""
     vecs = _vecs(emb, id_col, vec_col)
-    q = (vecs.filter(F.col("_vid").isin(query_ids))
-         .select(F.col("_vid").alias("q_id"), F.col("_vec").alias("_qvec"),
-                 F.col("_n").alias("_qn")))
+    q = vecs if query_ids is None else vecs.filter(
+        F.col("_vid").isin(query_ids))
+    q = q.select(F.col("_vid").alias("q_id"), F.col("_vec").alias("_qvec"),
+                 F.col("_n").alias("_qn"))
     sims = (
         F.broadcast(q).crossJoin(vecs)
         .filter(F.col("_vid") != F.col("q_id"))
