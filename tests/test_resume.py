@@ -134,3 +134,49 @@ def test_staged_partition_filter_prunes(spark, pages_parquet, tmp_path):
     assert "PartitionFilters" in plan, "filter never reached the scan"
     assert "PartitionFilters: [isnotnull(cgroup" in plan.replace("#", " #") or \
         "cgroup" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_catalog_concurrent_appends_serialize(spark, tmp_path):
+    """Two+ writers racing appends must serialize via the manifest CAS:
+    every snapshot survives (round 2's read-modify-write could silently
+    drop a concurrent writer's commit)."""
+    import threading
+
+    from webextract.checkpoint import Catalog
+
+    cat = Catalog(str(tmp_path / "cc"))
+    df = spark.range(5).selectExpr("id as v")
+    errs = []
+
+    def writer():
+        try:
+            for _ in range(4):
+                cat.append("t", df)
+        except Exception as e:  # pragma: no cover - failure path
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer) for _ in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    man = cat.manifest("t")
+    assert man["version"] == 12
+    assert len(man["parts"]) == len(set(man["parts"])) == 12
+    assert cat.read(spark, "t").count() == 60
+
+
+def test_iceberg_probe(tmp_path):
+    """Jar discovery is honest: in this sandbox there is no Iceberg
+    runtime (session confs → None ⇒ shim path); if a jar ever appears
+    the confs must wire the real catalog."""
+    from webextract import checkpoint
+
+    jar = checkpoint.iceberg_jar()
+    confs = checkpoint.iceberg_session_confs(str(tmp_path))
+    if jar is None:
+        assert confs is None
+    else:  # pragma: no cover - only on a jar-bearing host
+        assert confs["spark.jars"] == jar
+        assert "spark.sql.extensions" in confs

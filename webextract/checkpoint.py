@@ -1,39 +1,90 @@
 """Parquet + manifest checkpoint catalog (Iceberg-shim, SURVEY.md §7.0).
 
-No Iceberg runtime jar is resolvable in this sandbox, so this shim
-provides the minimal Iceberg-like surface the pipeline needs, with the
-same call shape it would use against a real catalog:
+No Iceberg runtime jar is resolvable in this sandbox (``iceberg_jar()``
+below probes for one; the session is offline so ``spark.jars.packages``
+cannot fetch it — verified round 3: no jar under pyspark/jars, no ivy
+cache). This shim provides the minimal Iceberg-like surface the pipeline
+needs, with the same call shape it would use against a real catalog:
 
 - **append**: immutable parquet part-dirs + a new manifest version
   listing all live part-dirs (snapshot)
 - **snapshot-pinned reads**: ``read(spark, name, version=...)`` resolves
   a manifest version to its frozen file list
-- **atomic commit**: manifest JSON written to a temp file then
-  ``os.replace``d; the ``_LATEST`` pointer likewise — readers see either
-  the old or the new snapshot, never a partial one
+- **atomic, CONFLICT-CHECKED commit**: the manifest for version N is
+  committed via ``os.link`` of a fully-written temp file onto
+  ``vN.json`` — link is atomic and fails with EEXIST if another writer
+  committed N first, in which case the loser re-reads the latest
+  snapshot and retries with N+1 (optimistic concurrency, exactly the
+  CAS-retry loop a real Iceberg catalog runs). Round 2 shipped a
+  read-modify-write manifest that could silently drop a concurrent
+  writer's snapshot; now the race is serialized by the filesystem.
+
+``latest_version`` scans the ``_manifests`` directory (the committed
+truth); the ``_LATEST`` pointer file is written as an advisory
+human-readable fast-path only and may briefly lag under concurrency.
 
 Reference analogue: the in-memory result store + reprocess-from-cache
 (ocr-ai-service/app/services/document_service.py:44,253-282, S5/C4).
-On a real deployment swap this for ``df.writeTo("cat.db.tbl").append()``;
-the runner only uses append/read/latest_version.
-
-Concurrency scope: the shim assumes ONE writer per table root (the
-runner's commit loop is sequential). Two concurrent runners appending to
-the same root could interleave the manifest read-modify-write and drop
-each other's snapshot — a real Iceberg catalog serializes commits with
-optimistic retry, which is exactly what you get on the swap above. The
-north-rule resume story (one job at a time, killed and restarted) never
-has two live writers.
+On a real deployment swap this for ``df.writeTo("cat.db.tbl").append()``
+— ``iceberg_session_confs()`` returns the session wiring for that path
+when a runtime jar is present.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import time
 import uuid
 
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_jar() -> str | None:
+    """Path of an Iceberg Spark runtime jar if one is discoverable
+    locally (pyspark's bundled jars, $SPARK_HOME/jars, the ivy cache) —
+    None in this sandbox. Discovery instead of ``spark.jars.packages``
+    because an offline ivy resolve blocks session start for minutes."""
+    roots = []
+    try:
+        import pyspark
+        roots.append(os.path.join(os.path.dirname(pyspark.__file__), "jars"))
+    except ImportError:  # pragma: no cover - pyspark is a hard dep
+        pass
+    if os.environ.get("SPARK_HOME"):
+        roots.append(os.path.join(os.environ["SPARK_HOME"], "jars"))
+    roots.append(os.path.expanduser("~/.ivy2"))
+    for root in roots:
+        hits = glob.glob(os.path.join(root, "**", "iceberg-spark-runtime*.jar"),
+                         recursive=True)
+        if hits:
+            return sorted(hits)[-1]
+    return None
+
+
+def iceberg_session_confs(warehouse: str,
+                          catalog: str = "ckpt") -> dict[str, str] | None:
+    """Builder confs for a real Iceberg hadoop catalog, or None when no
+    runtime jar is present (callers then use this shim). Kept separate
+    from build_session so the default session never pays a probe."""
+    jar = iceberg_jar()
+    if jar is None:
+        return None
+    return {
+        "spark.jars": jar,
+        "spark.sql.extensions":
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+        f"spark.sql.catalog.{catalog}":
+            "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": "hadoop",
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+    }
+
+
+class CommitConflictError(RuntimeError):
+    """Raised when optimistic manifest commit keeps losing the race."""
 
 
 class Catalog:
@@ -45,19 +96,28 @@ class Catalog:
     def _tdir(self, name: str) -> str:
         return os.path.join(self.root, name)
 
+    def _mdir(self, name: str) -> str:
+        return os.path.join(self._tdir(name), "_manifests")
+
     def _manifest_path(self, name: str, version: int) -> str:
-        return os.path.join(self._tdir(name), "_manifests", f"v{version}.json")
+        return os.path.join(self._mdir(name), f"v{version}.json")
 
     def _latest_path(self, name: str) -> str:
         return os.path.join(self._tdir(name), "_LATEST")
 
     # -- snapshots ----------------------------------------------------------
     def latest_version(self, name: str) -> int | None:
+        """Highest COMMITTED manifest version — from the manifest dir,
+        not the advisory _LATEST pointer (which can lag a concurrent
+        winner)."""
         try:
-            with open(self._latest_path(name)) as f:
-                return int(f.read().strip())
-        except (FileNotFoundError, ValueError):
+            files = os.listdir(self._mdir(name))
+        except FileNotFoundError:
             return None
+        vs = [int(f[1:-5]) for f in files
+              if f.startswith("v") and f.endswith(".json")
+              and f[1:-5].isdigit()]
+        return max(vs) if vs else None
 
     def manifest(self, name: str, version: int | None = None) -> dict | None:
         v = version if version is not None else self.latest_version(name)
@@ -70,31 +130,48 @@ class Catalog:
             return None
 
     # -- write path ----------------------------------------------------------
-    def append(self, name: str, df: DataFrame) -> dict:
-        """Write df as a new immutable part-dir, commit manifest vN+1."""
+    def append(self, name: str, df: DataFrame, max_retries: int = 20) -> dict:
+        """Write df as a new immutable part-dir, then commit manifest
+        vN+1 with optimistic CAS-retry (see module docstring)."""
         part_id = uuid.uuid4().hex
         part_rel = os.path.join("data", part_id)
         part_abs = os.path.join(self._tdir(name), part_rel)
         df.write.parquet(part_abs, mode="errorifexists")
-        prev = self.manifest(name)
-        version = (prev["version"] + 1) if prev else 1
-        man = {
-            "table": name,
-            "version": version,
-            "parts": (prev["parts"] if prev else []) + [part_rel],
-            "committed_at": time.time(),
-        }
-        mpath = self._manifest_path(name, version)
-        os.makedirs(os.path.dirname(mpath), exist_ok=True)
-        tmp = mpath + f".tmp-{part_id}"
-        with open(tmp, "w") as f:
-            json.dump(man, f)
-        os.replace(tmp, mpath)
-        ltmp = self._latest_path(name) + f".tmp-{part_id}"
+        os.makedirs(self._mdir(name), exist_ok=True)
+        for _ in range(max_retries):
+            prev = self.manifest(name)
+            version = (prev["version"] + 1) if prev else 1
+            man = {
+                "table": name,
+                "version": version,
+                "parts": (prev["parts"] if prev else []) + [part_rel],
+                "committed_at": time.time(),
+            }
+            mpath = self._manifest_path(name, version)
+            tmp = mpath + f".tmp-{part_id}"
+            with open(tmp, "w") as f:
+                json.dump(man, f)
+            try:
+                # atomic exclusive commit: the fully-written temp file is
+                # LINKED onto the version name — succeeds for exactly one
+                # writer per version, readers never see partial JSON
+                os.link(tmp, mpath)
+            except FileExistsError:
+                os.unlink(tmp)
+                continue  # lost the race for this version: re-read, retry
+            os.unlink(tmp)
+            self._write_latest_pointer(name, version, part_id)
+            return man
+        raise CommitConflictError(
+            f"append({name}): lost the manifest commit race {max_retries} "
+            f"times — pathological writer contention on {self.root}")
+
+    def _write_latest_pointer(self, name: str, version: int,
+                              token: str) -> None:
+        ltmp = self._latest_path(name) + f".tmp-{token}"
         with open(ltmp, "w") as f:
             f.write(str(version))
         os.replace(ltmp, self._latest_path(name))
-        return man
 
     # -- read path -----------------------------------------------------------
     def read(
