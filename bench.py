@@ -45,6 +45,12 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "multimodal_decode_stub",
     "extract_flagship_oracled",
+    # round 3: production presets + the bucketed near-dup scale twin
+    # (sf0.1 embeddings are 2000 x 64-dim — the real-width fixture the
+    # r2 verdict asked the rewritten cosine kernels to be timed at)
+    "lsh_candidate_pairs_prod",
+    "simhash_prod_pairs",
+    "embedding_near_dup_bucketed",
 ]
 
 
@@ -89,16 +95,44 @@ def run_extract_bench(spark, n_docs: int) -> dict:
 
 def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entry
+    from webextract import cache
 
     qs = entry.queries()
     out: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+        warm = fn(spark, sf_dir)
+        warm.write.format("noop").mode("overwrite").save()
+        cache.release(warm)
         t0 = time.monotonic()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timed = fn(spark, sf_dir)
+        timed.write.format("noop").mode("overwrite").save()
         out[name] = round(time.monotonic() - t0, 3)
+        # unpersist per-query intermediates: 20 queries' caches would
+        # otherwise contend for executor memory and skew later timings
+        cache.release(timed)
     return out
+
+
+def run_dedup_bench(spark, n_docs: int) -> dict:
+    """End-to-end MinHash deduplicate() over the SAME 240k-page corpus
+    the extraction bench uses (r2 verdict #7 — the micro-benches ran
+    dedup only at sf0.1 scale): wall time + kept fraction."""
+    from webextract import cache, dedup
+
+    path = pages_corpus(n_docs)
+    pages = spark.read.parquet(path).select("url", "text")
+    warm = dedup.deduplicate(pages.limit(2048), id_col="url", text_col="text")
+    warm.write.format("noop").mode("overwrite").save()
+    cache.release(warm)
+    t0 = time.monotonic()
+    kept_df = dedup.deduplicate(pages, id_col="url", text_col="text")
+    n_kept = kept_df.count()
+    wall = time.monotonic() - t0
+    cache.release(kept_df)
+    return {"docs": n_docs, "wall_sec": round(wall, 3),
+            "docs_per_sec": round(n_docs / wall, 1),
+            "kept": n_kept, "kept_frac": round(n_kept / n_docs, 4)}
 
 
 def main() -> None:
@@ -126,6 +160,7 @@ def main() -> None:
         return
 
     queries = run_query_bench(spark, args.sf_dir)
+    dedup_e2e = run_dedup_bench(spark, args.docs)
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
@@ -138,6 +173,7 @@ def main() -> None:
         "queries": queries,
         "sf": sf_val,
         "extract": extract,
+        "dedup": dedup_e2e,
         "cpus": args.cpus,
     }
     print(json.dumps(result))

@@ -180,3 +180,39 @@ def test_iceberg_probe(tmp_path):
     else:  # pragma: no cover - only on a jar-bearing host
         assert confs["spark.jars"] == jar
         assert "spark.sql.extensions" in confs
+
+
+def test_delete_where_copy_on_write(spark, tmp_path):
+    """S6: row-level delete rewrites ONLY parts containing matches;
+    untouched parts carry over by reference, old snapshots stay pinned."""
+    cat = Catalog(str(tmp_path / "del"))
+    cat.append("t", spark.range(0, 10).selectExpr("id as v"))
+    m2 = cat.append("t", spark.range(10, 20).selectExpr("id as v"))
+    man = cat.delete_where(spark, "t", "v >= 15")
+    assert man["version"] == 3
+    assert man["parts"][0] == m2["parts"][0]      # untouched: same part
+    assert man["parts"][1] != m2["parts"][1]      # rewritten: new part
+    assert sorted(r["v"] for r in cat.read(spark, "t").collect()) \
+        == list(range(15))
+    assert cat.read(spark, "t", version=2).count() == 20  # pinned read
+    # predicate matching nothing: no new snapshot
+    assert cat.delete_where(spark, "t", "v > 1000")["version"] == 3
+    # deleting a whole part drops it from the snapshot
+    man4 = cat.delete_where(spark, "t", "v < 10")
+    assert len(man4["parts"]) == 1
+    assert cat.read(spark, "t").count() == 5
+
+
+def test_expire_snapshots_gc(spark, tmp_path):
+    """S7 (real TTL): expiring old snapshots garbage-collects part dirs
+    nothing references anymore; the live snapshot is untouched."""
+    cat = Catalog(str(tmp_path / "ttl"))
+    cat.append("t", spark.range(5).selectExpr("id as v"))
+    cat.append("t", spark.range(5, 9).selectExpr("id as v"))
+    cat.delete_where(spark, "t", "v < 2")
+    out = cat.expire_snapshots("t", keep_last=1)
+    assert out["expired_versions"] == [1, 2]
+    assert out["removed_parts"]                    # the rewritten-away part
+    assert cat.manifest("t", version=2) is None    # expired snapshot gone
+    assert sorted(r["v"] for r in cat.read(spark, "t").collect()) \
+        == list(range(2, 9))

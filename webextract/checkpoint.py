@@ -35,6 +35,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import shutil
 import time
 import uuid
 
@@ -130,41 +131,119 @@ class Catalog:
             return None
 
     # -- write path ----------------------------------------------------------
-    def append(self, name: str, df: DataFrame, max_retries: int = 20) -> dict:
-        """Write df as a new immutable part-dir, then commit manifest
-        vN+1 with optimistic CAS-retry (see module docstring)."""
+    def _new_part(self, name: str, df: DataFrame) -> str:
         part_id = uuid.uuid4().hex
         part_rel = os.path.join("data", part_id)
-        part_abs = os.path.join(self._tdir(name), part_rel)
-        df.write.parquet(part_abs, mode="errorifexists")
+        df.write.parquet(os.path.join(self._tdir(name), part_rel),
+                         mode="errorifexists")
+        return part_rel
+
+    def _commit(self, name: str, make_parts, op: str,
+                max_retries: int = 20) -> dict:
+        """Optimistic CAS commit loop: ``make_parts(prev_manifest)`` maps
+        the latest snapshot's part list to the new one (re-evaluated on
+        every retry, so a losing writer recomputes against the winner's
+        snapshot); None means no-op. The manifest for version N is
+        committed via os.link of a fully-written temp file — atomic and
+        exclusive, exactly one writer wins each version."""
         os.makedirs(self._mdir(name), exist_ok=True)
+        token = uuid.uuid4().hex
         for _ in range(max_retries):
             prev = self.manifest(name)
+            parts = make_parts(prev)
+            if parts is None:
+                return prev
             version = (prev["version"] + 1) if prev else 1
             man = {
                 "table": name,
                 "version": version,
-                "parts": (prev["parts"] if prev else []) + [part_rel],
+                "parts": parts,
                 "committed_at": time.time(),
             }
             mpath = self._manifest_path(name, version)
-            tmp = mpath + f".tmp-{part_id}"
+            tmp = mpath + f".tmp-{token}"
             with open(tmp, "w") as f:
                 json.dump(man, f)
             try:
-                # atomic exclusive commit: the fully-written temp file is
-                # LINKED onto the version name — succeeds for exactly one
-                # writer per version, readers never see partial JSON
                 os.link(tmp, mpath)
             except FileExistsError:
                 os.unlink(tmp)
                 continue  # lost the race for this version: re-read, retry
             os.unlink(tmp)
-            self._write_latest_pointer(name, version, part_id)
+            self._write_latest_pointer(name, version, token)
             return man
         raise CommitConflictError(
-            f"append({name}): lost the manifest commit race {max_retries} "
+            f"{op}({name}): lost the manifest commit race {max_retries} "
             f"times — pathological writer contention on {self.root}")
+
+    def append(self, name: str, df: DataFrame, max_retries: int = 20) -> dict:
+        """Write df as a new immutable part-dir, then commit manifest
+        vN+1 with optimistic CAS-retry (see module docstring)."""
+        part_rel = self._new_part(name, df)
+        return self._commit(
+            name, lambda prev: (prev["parts"] if prev else []) + [part_rel],
+            "append", max_retries)
+
+    def delete_where(self, spark: SparkSession, name: str,
+                     predicate: str) -> dict | None:
+        """Row-level DELETE (S6 — Iceberg ``DELETE FROM … WHERE``
+        analogue), copy-on-write at part granularity: parts with no
+        matching row are carried into the new snapshot untouched; parts
+        with matches are rewritten without the matching rows (dropped
+        entirely if nothing survives). Old parts stay on disk so pinned
+        reads of earlier snapshots still work — reclaim space with
+        ``expire_snapshots``. The rewrite is re-evaluated inside the CAS
+        loop, so a concurrent append cannot be lost."""
+        def make_parts(prev):
+            if prev is None:
+                return None
+            parts = []
+            changed = False
+            for p in prev["parts"]:
+                pdf = spark.read.parquet(os.path.join(self._tdir(name), p))
+                if pdf.filter(predicate).limit(1).count() == 0:
+                    parts.append(p)  # untouched — no rewrite, no copy
+                    continue
+                changed = True
+                survivors = pdf.filter(f"NOT ({predicate})")
+                if survivors.limit(1).count() > 0:
+                    parts.append(self._new_part(name, survivors))
+            return parts if changed else None
+
+        return self._commit(name, make_parts, "delete_where")
+
+    def expire_snapshots(self, name: str, keep_last: int = 1) -> dict:
+        """TTL / space reclamation (S7 — Iceberg ``expire_snapshots``
+        analogue): drop all but the newest ``keep_last`` manifests, then
+        garbage-collect part-dirs no surviving manifest references.
+        Pinned reads of expired versions fail afterwards — same contract
+        as Iceberg; do not run concurrently with readers of old
+        snapshots."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        try:
+            files = sorted(
+                (int(f[1:-5]), f) for f in os.listdir(self._mdir(name))
+                if f.startswith("v") and f.endswith(".json")
+                and f[1:-5].isdigit())
+        except FileNotFoundError:
+            return {"expired_versions": [], "removed_parts": []}
+        expired = files[:-keep_last]
+        live: set[str] = set()
+        for _, f in files[len(expired):]:
+            with open(os.path.join(self._mdir(name), f)) as fh:
+                live.update(json.load(fh)["parts"])
+        for _, f in expired:
+            os.unlink(os.path.join(self._mdir(name), f))
+        removed = []
+        data_dir = os.path.join(self._tdir(name), "data")
+        for d in (os.listdir(data_dir) if os.path.isdir(data_dir) else []):
+            rel = os.path.join("data", d)
+            if rel not in live:
+                shutil.rmtree(os.path.join(data_dir, d), ignore_errors=True)
+                removed.append(rel)
+        return {"expired_versions": [v for v, _ in expired],
+                "removed_parts": removed}
 
     def _write_latest_pointer(self, name: str, version: int,
                               token: str) -> None:
