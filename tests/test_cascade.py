@@ -1,0 +1,94 @@
+"""M12 — confidence-gated engine cascade (pipeline.run_extract_cascade).
+
+Reference shape: ai_service_local.py:513-537 (local result ≥ threshold →
+accept; below → run the expensive engine, keep the strictly-better
+result). Ours is deterministic on both arms, so the cascade's exact
+output is pinned against the two fixed engines it composes.
+"""
+
+import datetime as dt
+
+from webextract import pipeline
+
+
+def _rows(df):
+    return {r["url"]: r for r in df.collect()}
+
+
+def _short_block_pages(spark, n=3):
+    """Adversarial docs where the cascade's second pass genuinely wins:
+    every content paragraph is < 25 chars, so the strict profile
+    (min_chars 25) keeps nothing → confidence 0; the lenient profile
+    (min_chars 10) keeps the planted field sentences and recovers
+    spans. On the stock fixture corpus strict already ties the full
+    ensemble everywhere, so these rows are what make the gate bite."""
+    rows = []
+    for k in range(n):
+        html = ("<html><body><div><a href='/'>home</a></div>"
+                f"<p>Số văn bản: {100 + k}/QD</p>"
+                f"<p>Ngày 0{k + 1}/02/2025</p>"
+                "</body></html>").encode()
+        rows.append((f"https://ex.org/cascade/VANBAN_{k}.html",
+                     dt.datetime(2025, 1, 1), bytearray(html), "", "vi"))
+    return spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+
+
+def test_cascade_gate_semantics(spark, pages_parquet):
+    pages = (spark.read.parquet(pages_parquet).limit(100)
+             .unionByName(_short_block_pages(spark)))
+    strict = _rows(pipeline.run_extract(pages, profiles=("strict",)))
+    full = _rows(pipeline.run_extract(pages))
+    casc = _rows(pipeline.run_extract_cascade(pages, accept=0.7))
+    assert set(casc) == set(strict)
+    n_accepted = n_retried = n_improved = 0
+    for url, r in casc.items():
+        s = strict[url]
+        if s["status"] != "COMPLETED" or s["confidence"] >= 0.7:
+            n_accepted += 1
+            assert r == s          # gate accepted pass 1 verbatim
+        else:
+            n_retried += 1
+            f = full[url]
+            want = f if f["confidence"] > s["confidence"] else s
+            assert r == want       # strictly-better wins, pass 1 keeps ties
+            assert r["confidence"] >= s["confidence"]
+            if r["confidence"] > s["confidence"]:
+                n_improved += 1
+    # the corpus must exercise both branches AND a genuine pass-2 win
+    assert n_accepted > 0 and n_retried >= 3 and n_improved >= 3
+
+
+def test_cascade_accept_zero_equals_cheap_pass(spark, pages_parquet):
+    pages = spark.read.parquet(pages_parquet).limit(80)
+    strict = _rows(pipeline.run_extract(pages, profiles=("strict",)))
+    casc = _rows(pipeline.run_extract_cascade(pages, accept=0.0))
+    assert casc == strict
+
+
+def test_cascade_deterministic(spark, pages_parquet):
+    pages = spark.read.parquet(pages_parquet).limit(80)
+    one = _rows(pipeline.run_extract_cascade(pages, accept=0.7))
+    two = _rows(pipeline.run_extract_cascade(pages, accept=0.7))
+    assert one == two
+
+
+def test_profiles_restrict_candidates():
+    from webextract import boiler, dom
+
+    html = (b"<html><body><p>plain text content with enough characters to"
+            b" be kept by every profile</p></body></html>")
+    blocks = boiler.blocks_of(dom.parse_html(html))
+    assert [c["profile"] for c in boiler.candidates(blocks)] \
+        == ["strict", "lenient"]
+    assert [c["profile"] for c in boiler.candidates(blocks, ("strict",))] \
+        == ["strict"]
+
+
+def test_staged_path_rejects_profiles(spark, pages_parquet):
+    import pytest
+
+    pages = spark.read.parquet(pages_parquet).limit(4)
+    with pytest.raises(ValueError):
+        pipeline.run_extract(pages, fused=False, profiles=("strict",))

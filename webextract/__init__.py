@@ -34,6 +34,9 @@ applicable to any user corpus):
 - ``textstats`` — token counts, language ID, quality scores, winnowing
   fingerprints
 - ``validate`` — field-warning rows (required/date/numeric/low-conf)
+- ``cache``    — release() for the persisted intermediates library entry
+  points track on their results (round 3; long-lived sessions call it
+  after materializing to unpersist the chain)
 
 The byte-identical contract: every operator on the golden text path runs
 the SAME Python code in the single-node oracle and inside the Spark

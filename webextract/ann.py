@@ -111,16 +111,27 @@ def lsh_buckets(emb: DataFrame, id_col: str = "vec_id",
                 vec_col: str = "embedding",
                 n_planes: int = DEFAULT_PLANES,
                 persist: bool = True) -> DataFrame:
-    """(id, bucket): hyperplane-sign LSH — one groupBy over the flattened
-    vectors computes every projection (map-side combined), no per-plane
-    pass. Persisted by default: every downstream join fans out over it."""
-    flat = flatten(emb, id_col, vec_col)
+    """(id, bucket): hyperplane-sign LSH. Each projection is an IN-ROW
+    fold — zip the vector with its index sequence, weight by the
+    deterministic pseudo-plane w(i, j) = ((i·(7j+3)) mod 11) − 5, sum.
+    ZERO shuffle: bucket assignment is a pure projection over the scan
+    (round 2 position-exploded N·D rows through a groupBy — at D=768
+    that shuffle is 768× the row count for no reason). Persisted by
+    default: every downstream join fans out over it."""
+    idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+
+    def weighted(j):
+        # closure factory: PySpark infers lambda arity from the signature,
+        # so the plane index must be captured, not a defaulted third param
+        return lambda e, i: (e.cast("double")
+                             * ((i * (7 * j + 3)) % 11 - 5).cast("double"))
+
     projs = [
-        F.sum(F.col("e").cast("double")
-              * ((F.col("i") * (7 * j + 3)) % 11 - 5).cast("double")).alias(f"p{j}")
+        F.aggregate(F.zip_with(F.col(vec_col), idx, weighted(j)),
+                    F.lit(0.0), lambda acc, x: acc + x).alias(f"p{j}")
         for j in range(n_planes)
     ]
-    proj = flat.groupBy(id_col).agg(*projs)
+    proj = emb.select(id_col, *projs)
     bucket = None
     for j in range(n_planes):
         term = F.when(F.col(f"p{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))

@@ -124,13 +124,18 @@ def keep_mask(blocks: list[Block], max_ld: float, min_chars: int) -> list[bool]:
     return kept
 
 
-def candidates(blocks: list[Block]) -> list[dict]:
+def candidates(blocks: list[Block],
+               profiles: tuple[str, ...] | None = None) -> list[dict]:
     """Build per-profile candidates: dedup (first occurrence), '\\n\\n' join,
     conf = mean(1 - link_density) over kept blocks, precomputed best-of
     score (D5). Returns list of dicts matching the Spark candidate struct:
-    {profile, conf, score, text, blocks:[{page,score,n_chars}]}."""
+    {profile, conf, score, text, blocks:[{page,score,n_chars}]}.
+    ``profiles`` restricts to the named subset (the M12 cascade's cheap
+    first pass); None = the full ensemble, profile order preserved."""
     cands = []
-    for name, max_ld, min_chars in PROFILES:
+    selected = PROFILES if profiles is None else tuple(
+        p for p in PROFILES if p[0] in profiles)
+    for name, max_ld, min_chars in selected:
         mask = keep_mask(blocks, max_ld, min_chars)
         seen: set[str] = set()
         texts: list[str] = []

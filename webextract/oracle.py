@@ -29,12 +29,15 @@ def sniff_kind(payload: bytes) -> str:
     return "pdf" if payload[:5] == PDF_MAGIC else "html"
 
 
-def parse_candidates(payload: bytes) -> dict:
+def parse_candidates(payload: bytes,
+                     profiles: tuple[str, ...] | None = None) -> dict:
     """Stage-1 semantics: payload → candidate texts + per-candidate blocks.
 
     Returns {kind, n_pages, candidates:[{profile,conf,score,text,
     blocks:[{page,score,n_chars}]}], error}. Candidates empty + error set
-    on failure (size guard S2, parse errors)."""
+    on failure (size guard S2, parse errors). ``profiles`` restricts the
+    HTML candidate ensemble (M12 cascade cheap pass); the PDF arm is a
+    single deterministic parse either way."""
     if payload is None or len(payload) == 0:
         return {"kind": "html", "n_pages": 0, "candidates": [], "error": "empty payload"}
     if len(payload) > MAX_PAYLOAD_BYTES:
@@ -61,7 +64,7 @@ def parse_candidates(payload: bytes) -> dict:
             }
             return {"kind": kind, "n_pages": len(pages), "candidates": [cand], "error": None}
         dom = parse_html(payload)
-        cands = candidates(blocks_of(dom))
+        cands = candidates(blocks_of(dom), profiles)
         return {"kind": kind, "n_pages": 1, "candidates": cands, "error": None}
     except Exception as e:  # noqa: BLE001 — C2: never throw past the doc
         return {"kind": kind, "n_pages": 0, "candidates": [], "error": f"{type(e).__name__}: {e}"}
@@ -78,10 +81,12 @@ def best_candidate(cands: list[dict]) -> dict | None:
     return best
 
 
-def extract_document(url: str, payload: bytes) -> dict:
-    """Full per-document pipeline → one row of the ``extracted`` table."""
+def extract_document(url: str, payload: bytes,
+                     profiles: tuple[str, ...] | None = None) -> dict:
+    """Full per-document pipeline → one row of the ``extracted`` table.
+    ``profiles`` restricts the candidate ensemble (M12 cascade)."""
     doc_type = detect_doc_type(url)
-    parsed = parse_candidates(payload)
+    parsed = parse_candidates(payload, profiles)
     if parsed["error"] is not None:
         return {
             "url": url,

@@ -170,7 +170,8 @@ def stage_fields(assembled: DataFrame) -> DataFrame:
 def run_extract_full(pages: DataFrame, n_buckets: int = DEFAULT_BUCKETS,
                      partitions: int | None = None,
                      fused: bool = True,
-                     repartition: bool = False) -> DataFrame:
+                     repartition: bool = False,
+                     profiles: tuple[str, ...] | None = None) -> DataFrame:
     """pages → extracted, keeping the lineage side-band columns
     (bucket, bytes_in, _wall_ms).
 
@@ -192,23 +193,70 @@ def run_extract_full(pages: DataFrame, n_buckets: int = DEFAULT_BUCKETS,
     (the checkpointed runner's commit groups).
     """
     if not fused:
+        if profiles is not None:
+            raise ValueError("profiles is a fused-path option (the staged "
+                             "path materializes the full ensemble for C4)")
         return stage_fields(stage_assemble(stage_parse(pages, n_buckets, partitions)))
     prepped = with_bucket(pages.select("url", "warc_ts", "html"), n_buckets)
     if repartition:
         n_parts = partitions or prepped.sparkSession.conf.get(
             "spark.sql.shuffle.partitions")
         prepped = prepped.repartition(int(n_parts), "bucket")
-    return prepped.mapInPandas(udfs.extract_batches, udfs.EXTRACTED_FIELDS_SCHEMA)
+    body = (udfs.extract_batches if profiles is None
+            else udfs.make_extract_batches(profiles))
+    return prepped.mapInPandas(body, udfs.EXTRACTED_FIELDS_SCHEMA)
 
 
 def run_extract(pages: DataFrame, n_buckets: int = DEFAULT_BUCKETS,
                 partitions: int | None = None, fused: bool = True,
-                repartition: bool = False) -> DataFrame:
+                repartition: bool = False,
+                profiles: tuple[str, ...] | None = None) -> DataFrame:
     """pages → extracted (no checkpointing; see runner.py for the
     checkpointed, resumable job)."""
     return run_extract_full(
-        pages, n_buckets, partitions, fused, repartition
+        pages, n_buckets, partitions, fused, repartition, profiles
     ).select(*EXTRACTED_COLUMNS)
+
+
+def run_extract_cascade(pages: DataFrame, accept: float = 0.7,
+                        cheap_profiles: tuple[str, ...] = ("strict",),
+                        n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """M12 — the reference's confidence-gated engine cascade
+    (ai_service_local.py:513-537: local result ≥ threshold → accept;
+    below → try the expensive engine, keep the strictly-better result) as
+    a deterministic document-level two-pass plan:
+
+    - pass 1 extracts EVERYTHING with the cheap single-profile engine;
+    - only COMPLETED documents whose overall field confidence lands below
+      ``accept`` are re-extracted with the full candidate ensemble
+      (left-semi join on url before the payload-touching map, so pass 2
+      re-reads only that fraction of the input bytes);
+    - per document the higher-confidence result wins, pass-1 keeping ties
+      (strictly-greater, like the reference's openai-vs-local pick).
+
+    Config-off by design: ``run_extract`` stays the fixed deterministic
+    default (SURVEY §7.4); the cascade is itself deterministic, just a
+    different accept policy. At 100 TB this is the adaptive-cost story —
+    the confident majority never pays the ensemble."""
+    first = run_extract(pages, n_buckets=n_buckets, profiles=cheap_profiles)
+    first = first.persist()
+    is_low = ((F.col("status") == "COMPLETED")
+              & (F.col("confidence") < F.lit(accept)))
+    accepted = first.filter(~is_low)
+    low = first.filter(is_low)
+    retry = pages.join(low.select("url"), "url", "left_semi")
+    second = run_extract(retry, n_buckets=n_buckets)
+    a, b = low.alias("a"), second.alias("b")
+    pick = F.when(
+        F.col("b.confidence") > F.col("a.confidence"),
+        F.struct(*[F.col(f"b.{c}").alias(c) for c in EXTRACTED_COLUMNS]),
+    ).otherwise(
+        F.struct(*[F.col(f"a.{c}").alias(c) for c in EXTRACTED_COLUMNS]))
+    merged = (a.join(b, F.col("a.url") == F.col("b.url"))
+              .select(pick.alias("_r")).select("_r.*"))
+    out = accepted.unionByName(merged)
+    from .cache import track
+    return track(out, first)
 
 
 def layout_by_url(extracted: DataFrame, n_files: int | None = None) -> DataFrame:

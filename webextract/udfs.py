@@ -48,7 +48,18 @@ EXTRACTED_FIELDS_SCHEMA = (
 )
 
 
-def extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def make_extract_batches(profiles: tuple[str, ...] | None = None):
+    """Factory for the fused body with a restricted candidate-profile
+    ensemble (M12 cascade cheap pass). The closure ships to executors
+    via cloudpickle like any mapInPandas body."""
+    def body(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return extract_batches(it, profiles)
+    return body
+
+
+def extract_batches(it: Iterator[pd.DataFrame],
+                    profiles: tuple[str, ...] | None = None
+                    ) -> Iterator[pd.DataFrame]:
     """Fused single-pass body: the whole per-document pipeline
     (oracle.extract_document: parse → best-of → fields) in ONE Python
     stage. Preferred for throughput: candidate texts never cross the
@@ -59,7 +70,8 @@ def extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
         payloads = pdf["html"]
         recs = [
-            oracle.extract_document(url, bytes(b) if b is not None else b"")
+            oracle.extract_document(url, bytes(b) if b is not None else b"",
+                                    profiles)
             for url, b in zip(pdf["url"], payloads)
         ]
         out = pd.DataFrame(
