@@ -527,7 +527,7 @@ _EXTRACT_PRELUDE = f"WITH {_PAGES_CTE.strip()},\n{_F_ROWS_CTE},\n{_CONF_CTE.stri
 _register("extract_flagship", _extract_flagship_q)  # rows-only (fixtures
 # + PDFs included; byte parity for those is pinned by the golden pytest)
 
-_register("extract_flagship_oracled", _extract_flagship_oracled, f"""
+_FLAGSHIP_ORACLE_SQL = f"""
 {_EXTRACT_PRELUDE}
 SELECT p.url, p.doc_type,
        CASE WHEN p.broken THEN 'FAILED' ELSE 'COMPLETED' END AS status,
@@ -537,7 +537,35 @@ SELECT p.url, p.doc_type,
        CASE WHEN p.broken THEN 0.0 ELSE round(c.conf_url, 4) END AS confidence,
        cast(coalesce(c.n_fields, 0) as int) AS n_spans
 FROM pages p LEFT JOIN conf_agg c ON c.url = p.url
-""")
+"""
+
+_register("extract_flagship_oracled", _extract_flagship_oracled,
+          _FLAGSHIP_ORACLE_SQL)
+
+
+def _extract_cascade_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[M12] the confidence-gated cascade (pipeline.run_extract_cascade:
+    cheap strict-profile pass → full ensemble only below the 0.7 gate →
+    strictly-better wins) over the SAME synthesized corpus, against the
+    SAME DuckDB oracle as the flagship: on this corpus the strict
+    profile ties the full ensemble per url (main-content blocks are
+    long), so gate-accepted and retried documents alike must reproduce
+    the oracle's rows exactly — a full driver-verified end-to-end gate
+    of the cascade plan (two mapInPandas passes + semi join + merge)."""
+    _prep(spark)
+    from webextract import pipeline
+    pipeline.ship_package(spark)
+    ext = pipeline.run_extract_cascade(
+        _pages_from_documents(spark, sf_dir), accept=0.7, n_buckets=16)
+    return ext.select(
+        "url", "doc_type", "status", "text", "n_pages", "error",
+        F.round("confidence", 4).alias("confidence"),
+        F.size("spans").alias("n_spans"),
+    )
+
+
+_register("extract_cascade_oracled", _extract_cascade_oracled,
+          _FLAGSHIP_ORACLE_SQL)
 
 _register("extract_field_values", _extract_field_values, f"""
 {_EXTRACT_PRELUDE}
@@ -2426,6 +2454,7 @@ _register("ann_recall_at_k", _ann_recall_at_k, _ann_recall_sql())
 _PRIORITY = [
     # new this round — never seen by any driver
     "lsh_candidate_pairs_prod", "simhash_prod_pairs", "ann_recall_at_k",
+    "extract_cascade_oracled",
     # registered in r1/r2 but never driver-sampled
     "dedup_kept_corpus", "simhash_near_dup_pairs", "token_counts_regex",
     "winnow_fingerprints", "coalesce_first_match", "embedding_near_dup_pairs",
