@@ -122,3 +122,57 @@ def test_minhash_signature_frame_is_cached_for_fanout(spark):
         assert physical.count("InMemoryTableScan") >= 2, physical
     finally:
         sig.unpersist()
+
+
+def test_lsh_bucket_assignment_zero_exchange(spark):
+    """Round 3: lsh_buckets projections are in-row zip_with folds —
+    bucket assignment must ride the scan with NO shuffle and NO
+    position-explode of the vectors."""
+    from webextract import ann
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 2.0, 3.0]) for i in range(16)],
+        "vec_id bigint, embedding array<float>")
+    plan = _explain(ann.lsh_buckets(emb, persist=False))
+    assert "Exchange" not in plan, plan
+    assert "posexplode" not in plan.lower(), plan
+
+
+def test_ann_topk_kernel_never_explodes_vectors(spark):
+    """The pair kernel joins array-typed vectors and folds zip_with —
+    the plan must contain no position-explode of the embedding column
+    (the r2 kernel pushed D component rows per pair through the join)."""
+    from webextract import ann, cache
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, 2.0, 3.0]) for i in range(24)],
+        "vec_id bigint, embedding array<float>")
+    df = ann.bucketed_topk(emb, k=2, bucket_cap=8)
+    plan = _explain(df)
+    assert "posexplode" not in plan.lower(), plan
+    cache.release(df)
+
+
+def test_dedup_clusters_plan_window_free(spark):
+    """Star wiring + bucket caps are aggregation/join-shaped: no Window
+    exec anywhere (a window's per-bucket sort serializes a degenerate
+    duplicate cluster into one task)."""
+    from webextract import cache, dedup
+
+    df = spark.createDataFrame(
+        [(i, f"text {i % 3} common words") for i in range(30)],
+        "doc_id bigint, text string")
+    sig = dedup.minhash_signatures(df, n_hashes=4)
+    out = dedup.duplicate_clusters(sig, n_hashes=4)
+    plan = _explain(out)
+    assert "Window" not in plan, plan
+    cache.release(out)
+    cache.release(sig)
+
+
+def test_cascade_retry_join_is_left_semi(spark, pages_parquet):
+    """The cascade's pass-2 input must be a left-semi join on url (the
+    mechanism bounding pass-2 payload reads to the low-conf fraction)."""
+    pages = spark.read.parquet(pages_parquet).limit(32)
+    plan = _explain(pipeline.run_extract_cascade(pages), "extended")
+    assert "LeftSemi" in plan, plan

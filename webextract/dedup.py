@@ -32,7 +32,7 @@ from __future__ import annotations
 import warnings
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.storagelevel import StorageLevel
 
 from .cache import track as _track
@@ -257,8 +257,12 @@ def duplicate_clusters(sig: DataFrame, id_col: str = "doc_id",
     graph would."""
     key = F.concat(*[F.col(f"h{s}") for s in range(n_hashes)]).alias("bkey")
     keys = sig.select(F.col(id_col).alias("m"), key)
-    w = Window.partitionBy("bkey")
-    star = keys.withColumn("leader", F.min("m").over(w))
+    # leader via hash aggregate + equi-join, not min() over an unordered
+    # window: the window exec SORTS each bucket in one task, so a
+    # degenerate million-member dup bucket serializes; the aggregate is
+    # map-side combined and the join is hash-based
+    leaders = keys.groupBy("bkey").agg(F.min("m").alias("leader"))
+    star = keys.join(leaders, "bkey")
     pairs = star.filter(F.col("m") != F.col("leader")).select(
         F.col("leader").alias("a"), F.col("m").alias("b"))
     nodes = pairs.select(F.col("a").alias("n")).unionByName(
