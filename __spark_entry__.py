@@ -2333,8 +2333,12 @@ def _ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = ann.ivf_topk(emb, k=_RECALL_K, n_cells=_IVF_CELLS,
                        bucket_cap=_ANN_BUCKET_CAP) \
         .select("q_id", "neighbor_id")
+    ivf2 = ann.ivf_topk(emb, k=_RECALL_K, n_cells=_IVF_CELLS,
+                        bucket_cap=_ANN_BUCKET_CAP, probes=2) \
+        .select("q_id", "neighbor_id")
     appr = (lsh.withColumn("method", F.lit("lsh"))
-            .unionByName(ivf.withColumn("method", F.lit("ivf"))))
+            .unionByName(ivf.withColumn("method", F.lit("ivf")))
+            .unionByName(ivf2.withColumn("method", F.lit("ivf_p2"))))
     hits = (appr.join(exact, ["q_id", "neighbor_id"])
             .groupBy("method").agg(F.count("*").alias("n_hits")))
     base = exact.agg(F.countDistinct("q_id").alias("n_queries"))
@@ -2427,10 +2431,31 @@ ivfk AS (
     FROM ivfdots JOIN nrm nq ON nq.vec_id = q_id
                  JOIN nrm nc ON nc.vec_id = c_id)
   WHERE rk <= {k}),
+ivfq2 AS (
+  SELECT vec_id, bucket FROM (
+    SELECT vec_id, cell_id AS bucket,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rk
+    FROM assign) WHERE rk <= 2),
+ivf2dots AS (
+  SELECT p.q_id, p.c_id, sum(cast(q.e as double) * cast(c.e as double)) AS dot
+  FROM (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS c_id
+        FROM ivfq2 a JOIN ivfbktc b ON a.bucket = b.bucket
+                     AND a.vec_id <> b.vec_id) p
+  JOIN flat q ON q.vec_id = p.q_id
+  JOIN flat c ON c.vec_id = p.c_id AND q.i = c.i
+  GROUP BY p.q_id, p.c_id),
+ivf2k AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id, {rank} AS rk
+    FROM ivf2dots JOIN nrm nq ON nq.vec_id = q_id
+                  JOIN nrm nc ON nc.vec_id = c_id)
+  WHERE rk <= {k}),
 appr AS (
   SELECT 'lsh' AS method, q_id, c_id FROM lshk
   UNION ALL
-  SELECT 'ivf' AS method, q_id, c_id FROM ivfk),
+  SELECT 'ivf' AS method, q_id, c_id FROM ivfk
+  UNION ALL
+  SELECT 'ivf_p2' AS method, q_id, c_id FROM ivf2k),
 hits AS (
   SELECT method, cast(count(*) as bigint) AS n_hits
   FROM appr JOIN exact USING (q_id, c_id) GROUP BY method),

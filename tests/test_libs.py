@@ -336,3 +336,28 @@ def test_cache_release_unpersists(docs):
     assert n >= 1
     assert not (sig.storageLevel.useMemory or sig.storageLevel.useDisk)
     assert cache.release(sig) == 0  # idempotent
+
+
+def test_ivf_multi_probe_recall_monotone(clustered_emb):
+    # probing more cells can only add candidates ⇒ recall@k must not drop
+    exact = {(r["q_id"], r["neighbor_id"])
+             for r in ann.cosine_topk(clustered_emb, None, k=3).collect()}
+
+    def recall(probes):
+        got = {(r["q_id"], r["neighbor_id"])
+               for r in ann.ivf_topk(clustered_emb, k=3, n_cells=5,
+                                     bucket_cap=64, probes=probes).collect()}
+        return len(got & exact) / len(exact)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1
+    assert r2 > 0.5
+
+
+def test_ivf_assign_multi_matches_single_at_one_probe(clustered_emb):
+    cents = ann.ivf_centroids(clustered_emb, n_cells=4)
+    single = {(r["vec_id"], r["bucket"]) for r in
+              ann.ivf_assign(clustered_emb, cents).collect()}
+    multi1 = {(r["vec_id"], r["bucket"]) for r in
+              ann.ivf_assign_multi(clustered_emb, cents, probes=1).collect()}
+    assert single == multi1

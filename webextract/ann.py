@@ -204,6 +204,32 @@ def ivf_centroids_kmeans(emb: DataFrame, id_col: str = "vec_id",
     return cents
 
 
+def ivf_assign_multi(emb: DataFrame, centroids: DataFrame,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     probes: int = 1) -> DataFrame:
+    """(id, bucket): each vector's ``probes`` nearest centroid cells
+    (standard IVF multi-probe — the QUERY side searches several cells to
+    buy recall; the candidate side stays single-cell). Aggregation-
+    shaped like ivf_assign: collect the C (cell, dist) pairs per vector
+    map-side, sort, slice — deterministic (dist, cell_id) ordering, no
+    N×C window sort."""
+    sq = F.zip_with(
+        F.col(vec_col), F.col("cvec"),
+        lambda a, b: (a.cast("double") - b.cast("double"))
+        * (a.cast("double") - b.cast("double")),
+    )
+    dist = F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)
+    assign = emb.crossJoin(F.broadcast(centroids)).select(
+        id_col, "cell_id", dist.alias("dist"))
+    best = F.slice(
+        F.array_sort(F.collect_list(F.struct("dist", "cell_id"))), 1, probes)
+    return (
+        assign.groupBy(id_col).agg(best.alias("_cells"))
+        .select(id_col, F.explode("_cells").alias("_c"))
+        .select(id_col, F.col("_c.cell_id").alias("bucket"))
+    )
+
+
 def ivf_assign(emb: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
     """(id, bucket): nearest-centroid cell per vector. Distances fold
@@ -233,33 +259,47 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
 def ivf_topk(emb: DataFrame, id_col: str = "vec_id",
              vec_col: str = "embedding", k: int = 1, n_cells: int = 16,
              bucket_cap: int | None = DEFAULT_BUCKET_CAP,
-             nd: int = 4, trained: bool = False) -> DataFrame:
+             nd: int = 4, trained: bool = False,
+             probes: int = 1) -> DataFrame:
     """IVF search: assign → co-partition by cell → exact cosine rank
-    within the cell (probe=1). Same scale shape as bucketed_topk with
+    within the cell. Same scale shape as bucketed_topk with
     data-adaptive cells instead of fixed hyperplanes. ``trained=True``
-    uses Lloyd-refined centroids (non-oracled path)."""
+    uses Lloyd-refined centroids (non-oracled path); ``probes > 1``
+    makes each QUERY search its p nearest cells (recall dial — cost
+    grows ~linearly in probes, candidates stay single-cell/capped)."""
     cents = (ivf_centroids_kmeans if trained else ivf_centroids)(
         emb, id_col, vec_col, n_cells)
     cells = ivf_assign(emb, cents, id_col, vec_col) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     cells = _track(cells, cells)
-    return _topk_within(emb, cells, id_col, vec_col, k, bucket_cap, nd)
+    if probes <= 1:
+        return _topk_within(emb, cells, id_col, vec_col, k, bucket_cap, nd)
+    qcells = ivf_assign_multi(emb, cents, id_col, vec_col, probes)
+    return _topk_within(emb, cells, id_col, vec_col, k, bucket_cap, nd,
+                        query_bkt=qcells)
 
 
 def _topk_within(emb: DataFrame, bkt: DataFrame, id_col: str, vec_col: str,
-                 k: int, bucket_cap: int | None, nd: int) -> DataFrame:
+                 k: int, bucket_cap: int | None, nd: int,
+                 query_bkt: DataFrame | None = None) -> DataFrame:
     """Shared within-bucket exact-cosine ranking (LSH and IVF paths):
     candidate side capped deterministically; queries never dropped. One
     row per (query, candidate) pair everywhere — the vectors join as
-    arrays (zip_with fold), never as exploded components."""
+    arrays (zip_with fold), never as exploded components. ``query_bkt``
+    overrides the query-side bucket assignment (multi-probe: several
+    rows per query id); pairs are deduped so a candidate reachable via
+    two probes scores once."""
     vecs = _vecs(emb, id_col, vec_col)
     cand = _cap(bkt, id_col, bucket_cap)
-    a, b = bkt.alias("a"), cand.alias("b")
+    a = (query_bkt if query_bkt is not None else bkt).alias("a")
+    b = cand.alias("b")
     pairs = a.join(
         b, (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
     ).select(F.col(f"a.{id_col}").alias("q_id"),
              F.col(f"b.{id_col}").alias("c_id"))
+    if query_bkt is not None:
+        pairs = pairs.distinct()
     sims = _score_pairs(pairs, vecs, "q_id", "c_id", nd)
     wr = Window.partitionBy("q_id").orderBy(F.desc("_cos"), F.asc("c_id"))
     out = (
