@@ -105,6 +105,44 @@ def run_extract_bench(spark, n_docs: int) -> dict:
             "split_bytes": split}
 
 
+def run_ann_scale_bench(spark, n_vec: int = 20000, dim: int = 64) -> dict:
+    """The ANN scale paths at 10× the sf0.1 vector count (20k × 64-dim,
+    synthesized in Catalyst, cached): brute force would be 200M pairs —
+    the bucketed/IVF paths must stay in seconds. Evidence that the
+    candidate-shrink story holds beyond the oracle fixtures."""
+    import pyspark.sql.functions as F
+
+    from webextract import ann, cache
+
+    path = os.path.join(CACHE_DIR, f"emb_{n_vec}x{dim}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        vec = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (F.pmod(F.xxhash64(F.concat_ws(":", F.col("vec_id"), i)),
+                              F.lit(1000)).cast("double") / 500.0 - 1.0)
+            .cast("float"))
+        (spark.range(n_vec).select(F.col("id").alias("vec_id"))
+         .withColumn("embedding", vec)
+         .write.mode("overwrite").parquet(path + ".tmp"))
+        os.replace(path + ".tmp", path)
+    emb = spark.read.parquet(path)
+    out: dict = {"n_vec": n_vec, "dim": dim}
+    for name, fn in [
+        ("bucketed_topk", lambda: ann.bucketed_topk(emb, k=1)),
+        ("ivf_topk", lambda: ann.ivf_topk(emb, k=1, n_cells=64)),
+    ]:
+        warm = fn()
+        warm.write.format("noop").mode("overwrite").save()
+        cache.release(warm)
+        t0 = time.monotonic()
+        timed = fn()
+        timed.write.format("noop").mode("overwrite").save()
+        out[f"{name}_sec"] = round(time.monotonic() - t0, 3)
+        cache.release(timed)
+    return out
+
+
 def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entry
     from webextract import cache
@@ -173,6 +211,7 @@ def main() -> None:
 
     queries = run_query_bench(spark, args.sf_dir)
     dedup_e2e = run_dedup_bench(spark, args.docs)
+    ann_scale = run_ann_scale_bench(spark)
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
@@ -186,6 +225,7 @@ def main() -> None:
         "sf": sf_val,
         "extract": extract,
         "dedup": dedup_e2e,
+        "ann_scale": ann_scale,
         "cpus": args.cpus,
     }
     print(json.dumps(result))

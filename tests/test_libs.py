@@ -361,3 +361,21 @@ def test_ivf_assign_multi_matches_single_at_one_probe(clustered_emb):
     multi1 = {(r["vec_id"], r["bucket"]) for r in
               ann.ivf_assign_multi(clustered_emb, cents, probes=1).collect()}
     assert single == multi1
+
+
+def test_deduplicate_fuzzy_removes_near_dups(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "the quick brown fox jumps over the lazy dog today"),   # exact
+        (2, "the quick brown fox jumps over the lazy cat today"),   # near
+        (3, "completely unrelated sentence about spark pipelines"),
+        (4, "another document with its own distinct vocabulary set"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    kept = {r["doc_id"]
+            for r in dedup.deduplicate_fuzzy(df, threshold=0.7).collect()}
+    # 0/1/2 form one near-dup cluster (jaccard(0,2) = 8/10 >= 0.7) → keep 0
+    assert kept == {0, 3, 4}
+    # strict variant keeps the near-dup (different token set)
+    strict = {r["doc_id"] for r in dedup.deduplicate(df).collect()}
+    assert strict == {0, 2, 3, 4}

@@ -421,6 +421,36 @@ def _hex_to_bigint(hex_col: Column, n_hex: int) -> Column:
     return F.shiftleft(hi, 32).bitwiseOR(lo)
 
 
+def deduplicate_fuzzy(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", threshold: float = 0.7,
+                      n_hashes: int = 4, rows_per_band: int = 2,
+                      shingle_n: int | None = None,
+                      bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+                      max_doc_frac: float | None = None) -> DataFrame:
+    """End-to-end NEAR-duplicate removal — the full recall→precision→
+    cluster pipeline composed: LSH candidates (banded minhash over
+    unigrams, or ``shingle_n``-token shingles) → exact Jaccard ≥
+    ``threshold`` on candidates only → connected components
+    (cluster_pairs fixpoint) → drop every member except each
+    component's minimum id. ``deduplicate`` is the strict
+    (identical-token-set) variant; this one removes rewordings and
+    near-copies at the cost of the verify join. All scale guards apply:
+    capped buckets, optional hot-token drop, candidates-only Jaccard,
+    star-free linear edges."""
+    tok = distinct_tokens(df, id_col, text_col, max_doc_frac) \
+        if shingle_n is None else shingles(df, id_col, text_col, shingle_n)
+    tok = _persist(tok, True)
+    sig = minhash_signatures_from_tokens(tok, id_col, n_hashes)
+    cand = candidate_pairs(sig, id_col, n_hashes, rows_per_band, bucket_cap)
+    verified = jaccard_verify(cand.select("id_a", "id_b"), tok, id_col,
+                              threshold)
+    labels = cluster_pairs(verified, "id_a", "id_b")
+    drop = labels.filter(F.col("node") != F.col("cluster_id")) \
+        .select(F.col("node").alias(id_col))
+    out = df.join(drop, id_col, "left_anti")
+    return _track(out, tok, sig, labels)
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 16) -> DataFrame:
     """SimHash over distinct tokens: token hash = first bits/4 hex chars of

@@ -240,6 +240,11 @@ def run_extract_cascade(pages: DataFrame, accept: float = 0.7,
     the confident majority never pays the ensemble."""
     first = run_extract(pages, n_buckets=n_buckets, profiles=cheap_profiles)
     first = first.persist()
+    # eager: THREE consumers fan out over pass 1 (accepted rows, low rows,
+    # and the retry semi-join) — racing a cold cache recomputes the whole
+    # extraction per consumer (measured 13 s → 32 s at 240k docs), so pay
+    # one materialization up front and let everyone read the cached rows
+    first.count()
     is_low = ((F.col("status") == "COMPLETED")
               & (F.col("confidence") < F.lit(accept)))
     accepted = first.filter(~is_low)
