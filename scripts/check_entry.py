@@ -64,7 +64,11 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            df = fn(spark, sf_dir)
+            sdf = df.toPandas()
+            from webextract import cache
+            cache.release(df)  # 70 queries in one session: don't let each
+            # query's persisted intermediates pile onto the next's memory
         except Exception:
             print(f"FAIL {name}: SPARK ERROR")
             traceback.print_exc(limit=4)

@@ -216,3 +216,18 @@ def test_expire_snapshots_gc(spark, tmp_path):
     assert cat.manifest("t", version=2) is None    # expired snapshot gone
     assert sorted(r["v"] for r in cat.read(spark, "t").collect()) \
         == list(range(2, 9))
+
+
+def test_stale_staged_dirs_swept(spark, pages_parquet, tmp_path):
+    """A SIGKILLed run leaves _staged_input_<run_id> behind (finally
+    doesn't run); the next run_job must sweep it."""
+    import os
+
+    out = str(tmp_path / "sweep")
+    stale = os.path.join(out, "_staged_input_deadbeef")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "junk.parquet"), "w") as f:
+        f.write("x")
+    pages = _pages(spark, pages_parquet).limit(8)
+    runner.run_job(spark, pages, out, commit_groups=2)
+    assert not os.path.exists(stale)
