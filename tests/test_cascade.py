@@ -92,3 +92,31 @@ def test_staged_path_rejects_profiles(spark, pages_parquet):
     pages = spark.read.parquet(pages_parquet).limit(4)
     with pytest.raises(ValueError):
         pipeline.run_extract(pages, fused=False, profiles=("strict",))
+
+
+def test_runner_cascade_kill_resume(spark, pages_parquet, tmp_path):
+    """run_job(cascade=True): same resume mechanics — a killed cascade
+    run resumes to the byte-identical final table, and the final table
+    equals the unchunked cascade over the same pages."""
+    from webextract import runner
+
+    pages = (spark.read.parquet(pages_parquet).limit(100)
+             .unionByName(_short_block_pages(spark)))
+
+    def final(df):
+        rows = df.select("url", "text", "status", "confidence").collect()
+        return sorted((r["url"], r["text"], r["status"], r["confidence"])
+                      for r in rows)
+
+    want = final(pipeline.run_extract_cascade(pages, accept=0.7))
+    full = runner.run_job(spark, pages, str(tmp_path / "cf"),
+                          commit_groups=4, cascade=True)
+    assert final(full) == want
+
+    out = str(tmp_path / "ck")
+    partial = runner.run_job(spark, pages, out, commit_groups=4,
+                             max_groups=2, cascade=True)
+    assert 0 < partial.count() < 103
+    resumed = runner.run_job(spark, pages, out, commit_groups=4,
+                             cascade=True)
+    assert final(resumed) == want

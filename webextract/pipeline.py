@@ -238,7 +238,35 @@ def run_extract_cascade(pages: DataFrame, accept: float = 0.7,
     default (SURVEY §7.4); the cascade is itself deterministic, just a
     different accept policy. At 100 TB this is the adaptive-cost story —
     the confident majority never pays the ensemble."""
-    first = run_extract(pages, n_buckets=n_buckets, profiles=cheap_profiles)
+    return _cascade(
+        pages, accept, EXTRACTED_COLUMNS,
+        lambda p, prof: run_extract(p, n_buckets=n_buckets, profiles=prof),
+        cheap_profiles)
+
+
+def run_extract_cascade_full(pages: DataFrame, accept: float = 0.7,
+                             cheap_profiles: tuple[str, ...] = ("strict",),
+                             n_buckets: int = DEFAULT_BUCKETS,
+                             repartition: bool = False) -> DataFrame:
+    """Cascade variant keeping the lineage side-band columns (bucket,
+    bytes_in, _wall_ms) — what the checkpointed runner commits
+    (runner.run_job(cascade=True)). _wall_ms of a retried document is
+    the winning pass's cumulative batch wall; lineage takes the
+    per-bucket max either way (an upper bound, same contract)."""
+    cols = ["url", "warc_ts", "doc_type", "bucket", "status", "text",
+            "spans", "blocks", "confidence", "n_pages", "bytes_in",
+            "error", "_wall_ms"]
+    return _cascade(
+        pages, accept, cols,
+        lambda p, prof: run_extract_full(p, n_buckets=n_buckets,
+                                         repartition=repartition,
+                                         profiles=prof),
+        cheap_profiles)
+
+
+def _cascade(pages: DataFrame, accept: float, cols: list[str],
+             extractor, cheap_profiles: tuple[str, ...]) -> DataFrame:
+    first = extractor(pages, cheap_profiles)
     first = first.persist()
     # eager: THREE consumers fan out over pass 1 (accepted rows, low rows,
     # and the retry semi-join) — racing a cold cache recomputes the whole
@@ -250,16 +278,16 @@ def run_extract_cascade(pages: DataFrame, accept: float = 0.7,
     accepted = first.filter(~is_low)
     low = first.filter(is_low)
     retry = pages.join(low.select("url"), "url", "left_semi")
-    second = run_extract(retry, n_buckets=n_buckets)
+    second = extractor(retry, None)
     a, b = low.alias("a"), second.alias("b")
     pick = F.when(
         F.col("b.confidence") > F.col("a.confidence"),
-        F.struct(*[F.col(f"b.{c}").alias(c) for c in EXTRACTED_COLUMNS]),
+        F.struct(*[F.col(f"b.{c}").alias(c) for c in cols]),
     ).otherwise(
-        F.struct(*[F.col(f"a.{c}").alias(c) for c in EXTRACTED_COLUMNS]))
+        F.struct(*[F.col(f"a.{c}").alias(c) for c in cols]))
     merged = (a.join(b, F.col("a.url") == F.col("b.url"))
               .select(pick.alias("_r")).select("_r.*"))
-    out = accepted.unionByName(merged)
+    out = accepted.select(*cols).unionByName(merged)
     from .cache import track
     return track(out, first)
 

@@ -42,7 +42,7 @@ import shutil
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from . import pipeline
+from . import cache, pipeline
 from .checkpoint import Catalog
 
 EXTRACTED_TABLE = "extracted"
@@ -85,6 +85,8 @@ def run_job(
     resume: bool = True,
     sorted_layout: bool = False,
     stage_input: bool = False,
+    cascade: bool = False,
+    accept: float = 0.7,
 ) -> DataFrame:
     """Run (or resume) the extraction job; returns the full extracted
     table as of the last commit. ``max_groups`` limits how many commit
@@ -93,7 +95,10 @@ def run_job(
     (pipeline.layout_by_url) for point-lookup/min-max pruning.
     ``stage_input`` materializes the pending input once, partitioned by
     commit group, so per-group jobs read 1/G of the payload bytes
-    instead of re-scanning everything (see module docstring)."""
+    instead of re-scanning everything (see module docstring).
+    ``cascade=True`` extracts each commit group with the M12
+    confidence-gated cascade (pipeline.run_extract_cascade_full,
+    ``accept`` gate) — same resume/lineage mechanics, adaptive cost."""
     run_id = run_id or pipeline.new_run_id()
     catalog = Catalog(out_root)
     _sweep_stale_staged(out_root)
@@ -137,8 +142,13 @@ def run_job(
                 chunk = prepped.filter(F.col("cgroup") == g).drop("cgroup")
             else:
                 chunk = prepped.filter(F.col("bucket").isin(buckets))
-            extracted = pipeline.run_extract_full(chunk, n_buckets,
-                                                  repartition=True)
+            if cascade:
+                extracted = pipeline.run_extract_cascade_full(
+                    chunk, accept=accept, n_buckets=n_buckets,
+                    repartition=True)
+            else:
+                extracted = pipeline.run_extract_full(chunk, n_buckets,
+                                                      repartition=True)
             # one pass per group: cache so extracted + lineage don't recompute
             extracted = extracted.persist()
             try:
@@ -151,6 +161,7 @@ def run_job(
                 )
             finally:
                 extracted.unpersist()
+                cache.release(extracted)  # cascade pass-1 cache, per group
             processed += 1
     finally:
         if staged_dir is not None:
