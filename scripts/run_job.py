@@ -38,6 +38,12 @@ def main() -> None:
     ap.add_argument("--sorted-layout", action="store_true",
                     help="range-partition each commit's output by url for "
                          "point-lookup min-max pruning")
+    ap.add_argument("--cascade", action="store_true",
+                    help="M12 confidence-gated cascade per commit group: "
+                         "cheap strict-profile pass, full ensemble only "
+                         "below --accept")
+    ap.add_argument("--accept", type=float, default=0.7,
+                    help="cascade confidence gate (with --cascade)")
     args = ap.parse_args()
 
     # under spark-submit the session already exists; standalone we build one
@@ -71,6 +77,7 @@ def main() -> None:
         n_buckets=args.buckets, commit_groups=args.commit_groups,
         max_groups=args.max_groups, resume=not args.no_resume,
         stage_input=args.stage_input, sorted_layout=args.sorted_layout,
+        cascade=args.cascade, accept=args.accept,
     )
     n = out.count()
     ok = out.filter(out.status == "COMPLETED").count()
