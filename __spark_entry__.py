@@ -1701,8 +1701,10 @@ def _lsh_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = dedup.candidate_pairs(
         sig, "doc_id", n_hashes=4, bucket_cap=_LSH_BUCKET_CAP
     ).filter(F.col("n_shared_bands") == 2).select("id_a", "id_b")
+    from webextract.cache import track
     tok = dedup.distinct_tokens(docs, "doc_id", "text").persist(
         StorageLevel.MEMORY_AND_DISK)
+    track(tok, tok)  # register for the harness release_all sweep
     return dedup.jaccard_verify(cand, tok, "doc_id", threshold=0.7).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard")
 
@@ -2324,9 +2326,11 @@ def _ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     (method, n_hits, n_queries, recall_at_k)."""
     _prep(spark)
     from webextract import ann
+    from webextract.cache import track
     emb = _t(spark, sf_dir, "embeddings")
     exact = (ann.cosine_topk(emb, None, k=_RECALL_K)
              .select("q_id", "neighbor_id").persist())
+    track(exact, exact)  # register for the harness release_all sweep
     lsh = ann.bucketed_topk(emb, k=_RECALL_K, n_planes=_RECALL_PLANES,
                             bucket_cap=_ANN_BUCKET_CAP) \
         .select("q_id", "neighbor_id")

@@ -98,7 +98,7 @@ def run_extract_bench(spark, n_docs: int) -> dict:
         casc = pipeline.run_extract_cascade(pages)
         casc.write.format("noop").mode("overwrite").save()
         cascade_wall = min(cascade_wall, time.monotonic() - t0)
-        cache.release(casc)
+        cache.release_all()
     return {"docs": n_docs, "wall_sec": round(wall, 3),
             "docs_per_sec": round(n_docs / wall, 1),
             "cascade_wall_sec": round(cascade_wall, 3),
@@ -132,14 +132,12 @@ def run_ann_scale_bench(spark, n_vec: int = 20000, dim: int = 64) -> dict:
         ("bucketed_topk", lambda: ann.bucketed_topk(emb, k=1)),
         ("ivf_topk", lambda: ann.ivf_topk(emb, k=1, n_cells=64)),
     ]:
-        warm = fn()
-        warm.write.format("noop").mode("overwrite").save()
-        cache.release(warm)
+        fn().write.format("noop").mode("overwrite").save()
+        cache.release_all()
         t0 = time.monotonic()
-        timed = fn()
-        timed.write.format("noop").mode("overwrite").save()
+        fn().write.format("noop").mode("overwrite").save()
         out[f"{name}_sec"] = round(time.monotonic() - t0, 3)
-        cache.release(timed)
+        cache.release_all()
     return out
 
 
@@ -151,16 +149,14 @@ def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
     out: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
-        warm = fn(spark, sf_dir)
-        warm.write.format("noop").mode("overwrite").save()
-        cache.release(warm)
-        t0 = time.monotonic()
-        timed = fn(spark, sf_dir)
-        timed.write.format("noop").mode("overwrite").save()
-        out[name] = round(time.monotonic() - t0, 3)
-        # unpersist per-query intermediates: 20 queries' caches would
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        cache.release_all()  # warm run's caches must not donate to the
+        # timed run, and 20 queries' persisted intermediates would
         # otherwise contend for executor memory and skew later timings
-        cache.release(timed)
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.monotonic() - t0, 3)
+        cache.release_all()
     return out
 
 
@@ -174,12 +170,12 @@ def run_dedup_bench(spark, n_docs: int) -> dict:
     pages = spark.read.parquet(path).select("url", "text")
     warm = dedup.deduplicate(pages.limit(2048), id_col="url", text_col="text")
     warm.write.format("noop").mode("overwrite").save()
-    cache.release(warm)
+    cache.release_all()
     t0 = time.monotonic()
     kept_df = dedup.deduplicate(pages, id_col="url", text_col="text")
     n_kept = kept_df.count()
     wall = time.monotonic() - t0
-    cache.release(kept_df)
+    cache.release_all()
     return {"docs": n_docs, "wall_sec": round(wall, 3),
             "docs_per_sec": round(n_docs / wall, 1),
             "kept": n_kept, "kept_frac": round(n_kept / n_docs, 4)}

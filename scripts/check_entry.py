@@ -64,11 +64,12 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            df = fn(spark, sf_dir)
-            sdf = df.toPandas()
+            sdf = fn(spark, sf_dir).toPandas()
             from webextract import cache
-            cache.release(df)  # 70 queries in one session: don't let each
-            # query's persisted intermediates pile onto the next's memory
+            cache.release_all()  # 70 queries in one session: don't let
+            # each query's persisted intermediates pile onto the next's
+            # memory (release_all: attribute tracking doesn't survive the
+            # .select() most wrappers apply to the library result)
         except Exception:
             print(f"FAIL {name}: SPARK ERROR")
             traceback.print_exc(limit=4)

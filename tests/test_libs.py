@@ -379,3 +379,47 @@ def test_deduplicate_fuzzy_removes_near_dups(spark):
     # strict variant keeps the near-dup (different token set)
     strict = {r["doc_id"] for r in dedup.deduplicate(df).collect()}
     assert strict == {0, 2, 3, 4}
+
+
+def test_ann_drops_null_and_empty_embeddings(spark):
+    # failed-embed rows (null / empty arrays) must vanish from every ANN
+    # path — the in-row fold kernels would otherwise collapse them into
+    # bucket 0 with NULL cosines (r3 review finding)
+    rows = [(0, [1.0, 2.0, 3.0, 4.0]), (1, [1.0, 2.0, 3.0, 4.1]),
+            (2, []), (3, None), (4, [0.9, 2.0, 3.0, 4.0])]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    bkt = ann.lsh_buckets(emb, persist=False).collect()
+    assert {r["vec_id"] for r in bkt} == {0, 1, 4}
+    out = ann.bucketed_topk(emb, k=2, bucket_cap=8).collect()
+    bad = {2, 3}
+    for r in out:
+        assert r["q_id"] not in bad and r["neighbor_id"] not in bad
+        assert r["cosine"] is not None
+    ivf = ann.ivf_topk(emb, k=1, n_cells=2, probes=2).collect()
+    for r in ivf:
+        assert r["q_id"] not in bad and r["neighbor_id"] not in bad
+
+
+def test_release_all_survives_derived_frames(docs):
+    # the tracking attribute dies on .select(); release_all() must still
+    # unpersist the library's intermediates (r3 review finding)
+    from webextract import cache
+
+    cache.release_all()  # clean slate
+    sig = dedup.minhash_signatures(docs, n_hashes=4)
+    derived = sig.select("doc_id")      # tracking lost on this object
+    derived.count()
+    assert cache.release(derived) == 0  # documented no-op on derived
+    assert cache.release_all() >= 1     # sweep still finds sig
+    assert not (sig.storageLevel.useMemory or sig.storageLevel.useDisk)
+
+
+def test_iceberg_jar_version_aware(tmp_path):
+    from webextract import checkpoint
+
+    d = tmp_path / "jars"
+    d.mkdir()
+    for v in ["1.9.1", "1.10.0", "1.2.3"]:
+        (d / f"iceberg-spark-runtime-3.5_2.12-{v}.jar").write_text("x")
+    got = checkpoint.iceberg_jar(roots=[str(tmp_path)])
+    assert got.endswith("1.10.0.jar")

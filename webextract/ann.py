@@ -66,6 +66,15 @@ def norms(flat: DataFrame, id_col: str = "vec_id") -> DataFrame:
         .alias("n"))
 
 
+def _valid(emb: DataFrame, vec_col: str) -> DataFrame:
+    """Drop null/empty embeddings (size(null) = -1): failed-embed rows
+    are routine at corpus scale, and the in-row fold kernels would
+    otherwise turn them into NULL projections / zero norms — the r2
+    explode-based kernels dropped them implicitly (posexplode emits no
+    rows), so this keeps that contract explicit."""
+    return emb.filter(F.size(F.col(vec_col)) > 0)
+
+
 def _vecs(emb: DataFrame, id_col: str, vec_col: str,
           persist: bool = True) -> DataFrame:
     """(_vid, _vec:array<double>, _n): one row per vector with its L2
@@ -74,7 +83,8 @@ def _vecs(emb: DataFrame, id_col: str, vec_col: str,
     kernel joins it from two sides."""
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     out = (
-        emb.select(F.col(id_col).alias("_vid"), vec.alias("_vec"))
+        _valid(emb, vec_col)
+        .select(F.col(id_col).alias("_vid"), vec.alias("_vec"))
         .withColumn("_n", F.sqrt(F.aggregate(
             "_vec", F.lit(0.0), lambda acc, x: acc + x * x)))
     )
@@ -114,10 +124,14 @@ def lsh_buckets(emb: DataFrame, id_col: str = "vec_id",
     """(id, bucket): hyperplane-sign LSH. Each projection is an IN-ROW
     fold — zip the vector with its index sequence, weight by the
     deterministic pseudo-plane w(i, j) = ((i·(7j+3)) mod 11) − 5, sum.
+    Null/empty embeddings are dropped (sequence(0, -1) DESCENDS and a
+    null fold would otherwise collapse them all into bucket 0; the r2
+    explode path dropped them implicitly).
     ZERO shuffle: bucket assignment is a pure projection over the scan
     (round 2 position-exploded N·D rows through a groupBy — at D=768
     that shuffle is 768× the row count for no reason). Persisted by
     default: every downstream join fans out over it."""
+    emb = _valid(emb, vec_col)
     idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
 
     def weighted(j):
@@ -169,7 +183,8 @@ def ivf_centroids(emb: DataFrame, id_col: str = "vec_id",
     oracle-replayable; ``ivf_centroids_kmeans`` below is the trained
     option with the same output shape."""
     return (
-        emb.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        _valid(emb, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(n_cells)
         .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cvec"))
     )
@@ -204,6 +219,23 @@ def ivf_centroids_kmeans(emb: DataFrame, id_col: str = "vec_id",
     return cents
 
 
+def _cell_dists(emb: DataFrame, centroids: DataFrame, id_col: str,
+                vec_col: str) -> DataFrame:
+    """(id, cell_id, dist): N×C squared distances. The fold runs
+    LEFT-TO-RIGHT over the array (F.aggregate) in pure double — the same
+    deterministic op sequence the DuckDB oracle replays, so assignments
+    are engine-exact (no groupBy-order float drift). The centroid side is
+    tiny and broadcast; never materialized vectors."""
+    sq = F.zip_with(
+        F.col(vec_col), F.col("cvec"),
+        lambda a, b: (a.cast("double") - b.cast("double"))
+        * (a.cast("double") - b.cast("double")),
+    )
+    dist = F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)
+    return _valid(emb, vec_col).crossJoin(F.broadcast(centroids)).select(
+        id_col, "cell_id", dist.alias("dist"))
+
+
 def ivf_assign_multi(emb: DataFrame, centroids: DataFrame,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      probes: int = 1) -> DataFrame:
@@ -213,14 +245,7 @@ def ivf_assign_multi(emb: DataFrame, centroids: DataFrame,
     shaped like ivf_assign: collect the C (cell, dist) pairs per vector
     map-side, sort, slice — deterministic (dist, cell_id) ordering, no
     N×C window sort."""
-    sq = F.zip_with(
-        F.col(vec_col), F.col("cvec"),
-        lambda a, b: (a.cast("double") - b.cast("double"))
-        * (a.cast("double") - b.cast("double")),
-    )
-    dist = F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)
-    assign = emb.crossJoin(F.broadcast(centroids)).select(
-        id_col, "cell_id", dist.alias("dist"))
+    assign = _cell_dists(emb, centroids, id_col, vec_col)
     best = F.slice(
         F.array_sort(F.collect_list(F.struct("dist", "cell_id"))), 1, probes)
     return (
@@ -232,23 +257,14 @@ def ivf_assign_multi(emb: DataFrame, centroids: DataFrame,
 
 def ivf_assign(emb: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
-    """(id, bucket): nearest-centroid cell per vector. Distances fold
-    LEFT-TO-RIGHT over the array (F.aggregate) in pure double — the same
-    deterministic op sequence the DuckDB oracle replays, so assignments
-    are engine-exact (no groupBy-order float drift). The centroid side is
-    tiny and broadcast; the cross join is N×C rows of (id, cell, dist),
-    never materialized vectors."""
-    sq = F.zip_with(
-        F.col(vec_col), F.col("cvec"),
-        lambda a, b: (a.cast("double") - b.cast("double"))
-        * (a.cast("double") - b.cast("double")),
-    )
-    dist = F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)
-    assign = emb.crossJoin(F.broadcast(centroids)).select(
-        id_col, "cell_id", dist.alias("dist"))
-    # argmin via min(struct(dist, cell_id)) — lexicographic struct min IS
-    # argmin-with-id-tiebreak, and a hash aggregate (map-side combined)
-    # beats a row_number window (full sort of N×C rows) at scale
+    """(id, bucket): nearest-centroid cell per vector (see _cell_dists
+    for the engine-exact distance kernel).  Functionally identical to
+    ``ivf_assign_multi(probes=1)`` but keeps the cheaper min(struct)
+    aggregation: lexicographic struct min IS argmin-with-id-tiebreak,
+    and a plain hash aggregate (map-side combined, constant-size buffer)
+    beats both a row_number window (full sort of N×C rows) and a
+    collect_list buffer at scale."""
+    assign = _cell_dists(emb, centroids, id_col, vec_col)
     return (
         assign.groupBy(id_col)
         .agg(F.min(F.struct("dist", "cell_id")).alias("_best"))
@@ -269,9 +285,14 @@ def ivf_topk(emb: DataFrame, id_col: str = "vec_id",
     grows ~linearly in probes, candidates stay single-cell/capped)."""
     cents = (ivf_centroids_kmeans if trained else ivf_centroids)(
         emb, id_col, vec_col, n_cells)
+    if probes > 1 or trained:
+        # the centroid plan is evaluated by BOTH assigns (and a trained
+        # plan is 2 full Lloyd rounds) — materialize it once; C rows
+        cents = _track(cents.persist(StorageLevel.MEMORY_AND_DISK), cents)
+        cents.count()
     cells = ivf_assign(emb, cents, id_col, vec_col) \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    cells = _track(cells, cells)
+    cells = _track(cells, cells, cents)
     if probes <= 1:
         return _topk_within(emb, cells, id_col, vec_col, k, bucket_cap, nd)
     qcells = ivf_assign_multi(emb, cents, id_col, vec_col, probes)

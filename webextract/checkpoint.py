@@ -43,25 +43,36 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
-def iceberg_jar() -> str | None:
+def iceberg_jar(roots: list[str] | None = None) -> str | None:
     """Path of an Iceberg Spark runtime jar if one is discoverable
     locally (pyspark's bundled jars, $SPARK_HOME/jars, the ivy cache) —
     None in this sandbox. Discovery instead of ``spark.jars.packages``
-    because an offline ivy resolve blocks session start for minutes."""
-    roots = []
-    try:
-        import pyspark
-        roots.append(os.path.join(os.path.dirname(pyspark.__file__), "jars"))
-    except ImportError:  # pragma: no cover - pyspark is a hard dep
-        pass
-    if os.environ.get("SPARK_HOME"):
-        roots.append(os.path.join(os.environ["SPARK_HOME"], "jars"))
-    roots.append(os.path.expanduser("~/.ivy2"))
+    because an offline ivy resolve blocks session start for minutes.
+    ``roots`` overrides the search locations (tests)."""
+    if roots is None:
+        roots = []
+        try:
+            import pyspark
+            roots.append(os.path.join(os.path.dirname(pyspark.__file__),
+                                      "jars"))
+        except ImportError:  # pragma: no cover - pyspark is a hard dep
+            pass
+        if os.environ.get("SPARK_HOME"):
+            roots.append(os.path.join(os.environ["SPARK_HOME"], "jars"))
+        roots.append(os.path.expanduser("~/.ivy2"))
+    def version_key(path: str):
+        # numeric-aware ordering: "1.10.0" must beat "1.9.1" (plain string
+        # sort would pick the stale jar)
+        import re
+        # type-tagged tuples: a bare int vs str comparison would raise
+        return [(0, int(x), "") if x.isdigit() else (1, 0, x.lower())
+                for x in re.split(r"(\d+)", os.path.basename(path))]
+
     for root in roots:
         hits = glob.glob(os.path.join(root, "**", "iceberg-spark-runtime*.jar"),
                          recursive=True)
         if hits:
-            return sorted(hits)[-1]
+            return max(hits, key=version_key)
     return None
 
 
@@ -193,13 +204,24 @@ class Catalog:
         entirely if nothing survives). Old parts stay on disk so pinned
         reads of earlier snapshots still work — reclaim space with
         ``expire_snapshots``. The rewrite is re-evaluated inside the CAS
-        loop, so a concurrent append cannot be lost."""
+        loop, so a concurrent append cannot be lost — but each SOURCE
+        part is rewritten at most once across retries (memoized below):
+        a losing writer re-checks only parts it has not yet seen (e.g. a
+        concurrent append's new part), instead of re-copying everything
+        per lost race."""
+        rewritten: dict[str, str | None] = {}  # src part → new part/dropped
+
         def make_parts(prev):
             if prev is None:
                 return None
             parts = []
             changed = False
             for p in prev["parts"]:
+                if p in rewritten:
+                    changed = True
+                    if rewritten[p] is not None:
+                        parts.append(rewritten[p])
+                    continue
                 pdf = spark.read.parquet(os.path.join(self._tdir(name), p))
                 if pdf.filter(predicate).limit(1).count() == 0:
                     parts.append(p)  # untouched — no rewrite, no copy
@@ -207,7 +229,11 @@ class Catalog:
                 changed = True
                 survivors = pdf.filter(f"NOT ({predicate})")
                 if survivors.limit(1).count() > 0:
-                    parts.append(self._new_part(name, survivors))
+                    new_rel = self._new_part(name, survivors)
+                    rewritten[p] = new_rel
+                    parts.append(new_rel)
+                else:
+                    rewritten[p] = None  # whole part deleted
             return parts if changed else None
 
         return self._commit(name, make_parts, "delete_where")

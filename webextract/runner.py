@@ -98,7 +98,17 @@ def run_job(
     instead of re-scanning everything (see module docstring).
     ``cascade=True`` extracts each commit group with the M12
     confidence-gated cascade (pipeline.run_extract_cascade_full,
-    ``accept`` gate) — same resume/lineage mechanics, adaptive cost."""
+    ``accept`` gate) — same resume/lineage mechanics, adaptive cost.
+
+    Concurrency contract: ONE live run_job per ``out_root``. Two
+    concurrent runners would both see the same pending buckets and
+    append duplicate rows (the catalog's CAS commits keep every snapshot
+    intact, but job-level idempotence is bucket-resume-based and assumes
+    a single driver — kill-and-restart, not parallel drivers). The
+    stale-staged-dir sweep below relies on the same contract. Concurrent
+    writers to DIFFERENT tables under one root (e.g. reprocess_fields
+    writing extracted_v2 while a TTL job expires snapshots) are safe —
+    that is what the manifest CAS serializes."""
     run_id = run_id or pipeline.new_run_id()
     catalog = Catalog(out_root)
     _sweep_stale_staged(out_root)
