@@ -64,12 +64,16 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, sf_dir).toPandas()
-            from webextract import cache
-            cache.release_all()  # 70 queries in one session: don't let
-            # each query's persisted intermediates pile onto the next's
-            # memory (release_all: attribute tracking doesn't survive the
-            # .select() most wrappers apply to the library result)
+            # release in finally: 70 queries in one session — a FAILED
+            # query must not leave its persisted intermediates contending
+            # with the next query's execution (release_all because
+            # attribute tracking doesn't survive the .select() most
+            # wrappers apply to the library result)
+            try:
+                sdf = fn(spark, sf_dir).toPandas()
+            finally:
+                from webextract import cache
+                cache.release_all()
         except Exception:
             print(f"FAIL {name}: SPARK ERROR")
             traceback.print_exc(limit=4)

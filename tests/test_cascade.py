@@ -120,3 +120,36 @@ def test_runner_cascade_kill_resume(spark, pages_parquet, tmp_path):
     resumed = runner.run_job(spark, pages, out, commit_groups=4,
                              cascade=True)
     assert final(resumed) == want
+
+
+def test_cascade_multi_snapshot_urls(spark):
+    """(url, warc_ts) is the document key: two snapshots of one url —
+    one confident, one below the gate — must yield exactly two output
+    rows (keying on url alone cross-joined all snapshots of any url
+    with a low one)."""
+    import datetime as dt
+
+    good = ("<html><body><p>" + "Số văn bản: 77/QD và đây là một đoạn "
+            "văn dài đủ ký tự để profile strict giữ lại trọn vẹn." * 3
+            + "</p></body></html>").encode()
+    short = (b"<html><body><p>S\xe1\xbb\x91 v\xc4\x83n b\xe1\xba\xa3n: "
+             b"9/QD</p></body></html>")
+    rows = [
+        ("https://ex.org/snap/VANBAN_0.html", dt.datetime(2025, 1, 1),
+         bytearray(good), "", "vi"),
+        ("https://ex.org/snap/VANBAN_0.html", dt.datetime(2025, 6, 1),
+         bytearray(short), "", "vi"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+    out = pipeline.run_extract_cascade(pages, accept=0.7).collect()
+    assert len(out) == 2
+    by_ts = {r["warc_ts"]: r for r in out}
+    assert len(by_ts) == 2
+    fixed = {r["warc_ts"]: r
+             for r in pipeline.run_extract(pages).collect()}
+    # the low snapshot's winner matches the full-ensemble result
+    low_ts = dt.datetime(2025, 6, 1)
+    assert by_ts[low_ts]["confidence"] >= 0.0
+    assert by_ts[low_ts]["text"] == fixed[low_ts]["text"]

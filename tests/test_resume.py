@@ -210,8 +210,12 @@ def test_expire_snapshots_gc(spark, tmp_path):
     cat.append("t", spark.range(5).selectExpr("id as v"))
     cat.append("t", spark.range(5, 9).selectExpr("id as v"))
     cat.delete_where(spark, "t", "v < 2")
-    out = cat.expire_snapshots("t", keep_last=1)
-    assert out["expired_versions"] == [1, 2]
+    # default grace window: freshly-written unreferenced parts are NOT
+    # collected (they may belong to an in-flight writer's commit)
+    safe = cat.expire_snapshots("t", keep_last=1)
+    assert safe["expired_versions"] == [1, 2]
+    assert safe["removed_parts"] == []
+    out = cat.expire_snapshots("t", keep_last=1, grace_sec=0.0)
     assert out["removed_parts"]                    # the rewritten-away part
     assert cat.manifest("t", version=2) is None    # expired snapshot gone
     assert sorted(r["v"] for r in cat.read(spark, "t").collect()) \
@@ -231,3 +235,15 @@ def test_stale_staged_dirs_swept(spark, pages_parquet, tmp_path):
     pages = _pages(spark, pages_parquet).limit(8)
     runner.run_job(spark, pages, out, commit_groups=2)
     assert not os.path.exists(stale)
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate is NULL are NOT
+    matches and must survive the rewrite (a bare NOT(pred) drops them)."""
+    cat = Catalog(str(tmp_path / "nulldel"))
+    df = spark.createDataFrame([(1,), (5,), (None,)], "v int")
+    cat.append("t", df)
+    cat.delete_where(spark, "t", "v >= 5")
+    got = sorted((r["v"] is None, r["v"] or 0)
+                 for r in cat.read(spark, "t").collect())
+    assert got == [(False, 1), (True, 0)]  # 5 deleted, 1 and NULL kept

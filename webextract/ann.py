@@ -67,12 +67,15 @@ def norms(flat: DataFrame, id_col: str = "vec_id") -> DataFrame:
 
 
 def _valid(emb: DataFrame, vec_col: str) -> DataFrame:
-    """Drop null/empty embeddings (size(null) = -1): failed-embed rows
-    are routine at corpus scale, and the in-row fold kernels would
-    otherwise turn them into NULL projections / zero norms — the r2
-    explode-based kernels dropped them implicitly (posexplode emits no
-    rows), so this keeps that contract explicit."""
-    return emb.filter(F.size(F.col(vec_col)) > 0)
+    """Drop null/empty embeddings (size(null) = -1) AND vectors holding
+    a NULL element: failed-embed rows are routine at corpus scale, and
+    the in-row fold kernels would otherwise turn them into NULL
+    projections (→ all piled into bucket 0) and NULL norms/cosines —
+    the r2 explode-based kernels skipped them via posexplode/F.sum null
+    semantics, so this keeps that contract explicit."""
+    return emb.filter(
+        (F.size(F.col(vec_col)) > 0)
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull()))
 
 
 def _vecs(emb: DataFrame, id_col: str, vec_col: str,
@@ -245,13 +248,25 @@ def ivf_assign_multi(emb: DataFrame, centroids: DataFrame,
     shaped like ivf_assign: collect the C (cell, dist) pairs per vector
     map-side, sort, slice — deterministic (dist, cell_id) ordering, no
     N×C window sort."""
+    return _assign_ranked(emb, centroids, id_col, vec_col, probes) \
+        .select(id_col, "bucket")
+
+
+def _assign_ranked(emb: DataFrame, centroids: DataFrame, id_col: str,
+                   vec_col: str, probes: int) -> DataFrame:
+    """(id, bucket, _pr): each vector's ``probes`` nearest cells with
+    their probe rank (1 = nearest). One N×C distance pass yields BOTH
+    the single-cell candidate assignment (_pr == 1, identical to
+    ivf_assign — the deterministic (dist, cell_id) ordering ties them)
+    and the multi-probe query assignment."""
     assign = _cell_dists(emb, centroids, id_col, vec_col)
     best = F.slice(
         F.array_sort(F.collect_list(F.struct("dist", "cell_id"))), 1, probes)
     return (
         assign.groupBy(id_col).agg(best.alias("_cells"))
-        .select(id_col, F.explode("_cells").alias("_c"))
-        .select(id_col, F.col("_c.cell_id").alias("bucket"))
+        .select(id_col, F.posexplode("_cells").alias("_i", "_c"))
+        .select(id_col, F.col("_c.cell_id").alias("bucket"),
+                (F.col("_i") + 1).alias("_pr"))
     )
 
 
@@ -285,19 +300,25 @@ def ivf_topk(emb: DataFrame, id_col: str = "vec_id",
     grows ~linearly in probes, candidates stay single-cell/capped)."""
     cents = (ivf_centroids_kmeans if trained else ivf_centroids)(
         emb, id_col, vec_col, n_cells)
-    if probes > 1 or trained:
-        # the centroid plan is evaluated by BOTH assigns (and a trained
-        # plan is 2 full Lloyd rounds) — materialize it once; C rows
+    if trained:
+        # a trained centroid plan is 2 full Lloyd rounds — materialize
+        # it once before the assign consumes it; C rows
         cents = _track(cents.persist(StorageLevel.MEMORY_AND_DISK), cents)
         cents.count()
-    cells = ivf_assign(emb, cents, id_col, vec_col) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    cells = _track(cells, cells, cents)
     if probes <= 1:
+        cells = ivf_assign(emb, cents, id_col, vec_col) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        cells = _track(cells, cells, cents)
         return _topk_within(emb, cells, id_col, vec_col, k, bucket_cap, nd)
-    qcells = ivf_assign_multi(emb, cents, id_col, vec_col, probes)
+    # ONE N×C distance pass yields both assignments: candidate cells =
+    # probe rank 1 (identical to ivf_assign), query cells = all probes
+    ranked = _assign_ranked(emb, cents, id_col, vec_col, probes) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    ranked = _track(ranked, ranked, cents)
+    cells = ranked.filter(F.col("_pr") == 1).select(id_col, "bucket")
+    qcells = ranked.select(id_col, "bucket")
     return _topk_within(emb, cells, id_col, vec_col, k, bucket_cap, nd,
-                        query_bkt=qcells)
+                        query_bkt=_track(qcells, ranked))
 
 
 def _topk_within(emb: DataFrame, bkt: DataFrame, id_col: str, vec_col: str,

@@ -227,7 +227,11 @@ class Catalog:
                     parts.append(p)  # untouched — no rewrite, no copy
                     continue
                 changed = True
-                survivors = pdf.filter(f"NOT ({predicate})")
+                # NULL-predicate rows are NOT matches (SQL DELETE
+                # semantics): keep them — a bare NOT(pred) would drop
+                # them silently (NULL is neither TRUE nor its negation)
+                survivors = pdf.filter(
+                    f"NOT coalesce(({predicate}), false)")
                 if survivors.limit(1).count() > 0:
                     new_rel = self._new_part(name, survivors)
                     rewritten[p] = new_rel
@@ -238,13 +242,18 @@ class Catalog:
 
         return self._commit(name, make_parts, "delete_where")
 
-    def expire_snapshots(self, name: str, keep_last: int = 1) -> dict:
+    def expire_snapshots(self, name: str, keep_last: int = 1,
+                         grace_sec: float = 600.0) -> dict:
         """TTL / space reclamation (S7 — Iceberg ``expire_snapshots``
         analogue): drop all but the newest ``keep_last`` manifests, then
         garbage-collect part-dirs no surviving manifest references.
         Pinned reads of expired versions fail afterwards — same contract
         as Iceberg; do not run concurrently with readers of old
-        snapshots."""
+        snapshots. ``grace_sec``: part-dirs modified within this window
+        are never collected — an in-flight append/delete_where writes
+        its part BEFORE linking the manifest, and GC'ing that
+        not-yet-referenced dir would void the CAS commit guarantee
+        (Iceberg's remove_orphan_files has the same retention knob)."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         try:
@@ -262,12 +271,19 @@ class Catalog:
         for _, f in expired:
             os.unlink(os.path.join(self._mdir(name), f))
         removed = []
+        cutoff = time.time() - grace_sec
         data_dir = os.path.join(self._tdir(name), "data")
         for d in (os.listdir(data_dir) if os.path.isdir(data_dir) else []):
             rel = os.path.join("data", d)
-            if rel not in live:
-                shutil.rmtree(os.path.join(data_dir, d), ignore_errors=True)
-                removed.append(rel)
+            if rel in live:
+                continue
+            try:
+                if os.path.getmtime(os.path.join(data_dir, d)) >= cutoff:
+                    continue  # possibly an in-flight writer's part
+            except OSError:
+                continue
+            shutil.rmtree(os.path.join(data_dir, d), ignore_errors=True)
+            removed.append(rel)
         return {"expired_versions": [v for v, _ in expired],
                 "removed_parts": removed}
 

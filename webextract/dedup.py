@@ -38,10 +38,13 @@ from pyspark.storagelevel import StorageLevel
 from .cache import track as _track
 
 DEFAULT_BUCKET_CAP = 100
-# fan-out of the two-phase bucket cap: phase 1 caps each of CAP_SALTS
-# salted sub-buckets in parallel, phase 2 caps the <= CAP_SALTS * cap
-# survivors — no task ever sorts a whole degenerate bucket
-CAP_SALTS = 16
+# salt fan-outs of the multi-phase bucket cap (coarse → fine). Phase i
+# caps each (bucket, salt_i) sub-group to ``cap`` smallest ids; the
+# final unsalted phase caps the <= salts[-1]*cap survivors. Bounds BOTH
+# rows-per-task AND the collect_list aggregation buffer (which cannot
+# spill within one group): max group buffer ≈
+# max(bucket_size/salts[0], salts[i]*cap/salts[i+1], salts[-1]*cap).
+CAP_SALT_LEVELS = (1024, 32)
 
 
 def _persist(df: DataFrame, persist: bool) -> DataFrame:
@@ -166,15 +169,18 @@ def cap_buckets(bands: DataFrame, id_col: str = "doc_id",
 
     Aggregation-shaped, not a window (VERDICT r2 #6): a ``row_number``
     window routes ALL members of a degenerate bucket through one task's
-    sort. Here the cap is two hash aggregates: phase 1 salts members by
-    xxhash64(id) into ``CAP_SALTS`` sub-buckets and keeps each
-    sub-bucket's ``cap`` smallest (parallel across tasks — the overall
-    cap smallest are necessarily among them); phase 2 caps the
-    ≤ CAP_SALTS·cap survivors. No task ever sees more than
-    max(sub-bucket, CAP_SALTS·cap) rows of one bucket, and both phases
-    get map-side partial aggregation. Extra columns ride along in the
-    sort struct (id leads, so ordering semantics are unchanged vs the
-    old window)."""
+    sort. Here the cap is a cascade of hash aggregates over
+    ``CAP_SALT_LEVELS`` salt fan-outs: each phase salts members by
+    xxhash64(id) and keeps each sub-group's ``cap`` smallest (parallel
+    across tasks — the overall cap smallest are necessarily among every
+    phase's survivors); the final unsalted phase caps the few that
+    remain. Multi-level because a single collect_list group buffer
+    cannot spill: with levels (1024, 32) no group ever collects more
+    than ~max(bucket/1024, 32·cap) structs, so a 10M-member degenerate
+    bucket costs ~10k-element buffers, never one giant array. All
+    phases get map-side partial aggregation. Extra columns ride along
+    in the sort struct (id leads, so ordering semantics are unchanged
+    vs the old window)."""
     if bucket_cap is None:
         return bands
     keys = list(key_cols)
@@ -182,15 +188,18 @@ def cap_buckets(bands: DataFrame, id_col: str = "doc_id",
     payload = F.struct(F.col(id_col).alias("_id"),
                        *[F.col(c) for c in others])
     kept = F.slice(F.array_sort(F.collect_list("_p")), 1, bucket_cap)
-    phase1 = (
-        bands.select(*keys, payload.alias("_p"),
-                     F.pmod(F.xxhash64(F.col(id_col).cast("string")),
-                            F.lit(CAP_SALTS)).alias("_salt"))
-        .groupBy(*keys, "_salt").agg(kept.alias("_ids"))
-        .select(*keys, F.explode("_ids").alias("_p"))
-    )
-    phase2 = phase1.groupBy(*keys).agg(kept.alias("_ids"))
-    out = phase2.select(*keys, F.explode("_ids").alias("_p"))
+    cur = bands.select(*keys, payload.alias("_p"))
+    for salts in CAP_SALT_LEVELS:
+        cur = (
+            cur.withColumn(
+                "_salt",
+                F.pmod(F.xxhash64(F.col("_p._id").cast("string")),
+                       F.lit(salts)))
+            .groupBy(*keys, "_salt").agg(kept.alias("_ids"))
+            .select(*keys, F.explode("_ids").alias("_p"))
+        )
+    out = (cur.groupBy(*keys).agg(kept.alias("_ids"))
+           .select(*keys, F.explode("_ids").alias("_p")))
     return out.select(*keys, F.col("_p._id").alias(id_col),
                       *[F.col(f"_p.{c}").alias(c) for c in others])
 

@@ -277,7 +277,17 @@ def _cascade(pages: DataFrame, accept: float, cols: list[str],
               & (F.col("confidence") < F.lit(accept)))
     accepted = first.filter(~is_low)
     low = first.filter(is_low)
-    retry = pages.join(low.select("url"), "url", "left_semi")
+    # document key is (url, warc_ts): a Common-Crawl-style corpus holds
+    # multiple snapshots of one url, and keying the retry/merge on url
+    # alone would re-extract and cross-join ALL snapshots of a url that
+    # has any low one (row amplification in the committed output)
+    key = ["url", "warc_ts"]
+    semi_on = None
+    for k in key:  # null-safe: a null warc_ts must not silently exclude
+        cond = F.col(f"p.{k}").eqNullSafe(F.col(f"l.{k}"))
+        semi_on = cond if semi_on is None else semi_on & cond
+    retry = (pages.alias("p")
+             .join(low.select(*key).alias("l"), semi_on, "left_semi"))
     second = extractor(retry, None)
     a, b = low.alias("a"), second.alias("b")
     pick = F.when(
@@ -285,7 +295,14 @@ def _cascade(pages: DataFrame, accept: float, cols: list[str],
         F.struct(*[F.col(f"b.{c}").alias(c) for c in cols]),
     ).otherwise(
         F.struct(*[F.col(f"a.{c}").alias(c) for c in cols]))
-    merged = (a.join(b, F.col("a.url") == F.col("b.url"))
+    on = None
+    for k in key:
+        cond = F.col(f"a.{k}").eqNullSafe(F.col(f"b.{k}"))
+        on = cond if on is None else on & cond
+    # LEFT join: a low row can never be dropped (extraction is total, so
+    # a pass-2 twin always exists, but the merge must not rely on it);
+    # a missing b side leaves the strictly-greater test false → a wins
+    merged = (a.join(b, on, "left")
               .select(pick.alias("_r")).select("_r.*"))
     out = accepted.select(*cols).unionByName(merged)
     from .cache import track
