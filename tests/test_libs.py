@@ -423,3 +423,17 @@ def test_iceberg_jar_version_aware(tmp_path):
         (d / f"iceberg-spark-runtime-3.5_2.12-{v}.jar").write_text("x")
     got = checkpoint.iceberg_jar(roots=[str(tmp_path)])
     assert got.endswith("1.10.0.jar")
+
+
+def test_cap_buckets_degenerate_mega_bucket(spark):
+    # 300k members in ONE bucket: the multi-level salted cascade must
+    # return exactly the 100 smallest ids without any group buffer
+    # scaling with the bucket (probed at 2M rows in 8 s during round 3)
+    import pyspark.sql.functions as F
+
+    df = spark.range(300_000).select(
+        F.col("id").alias("doc_id"), F.lit(0).alias("band"),
+        F.lit("k").alias("bkey"))
+    out = sorted(r["doc_id"] for r in
+                 dedup.cap_buckets(df, "doc_id", bucket_cap=100).collect())
+    assert out == list(range(100))
