@@ -153,3 +153,25 @@ def test_cascade_multi_snapshot_urls(spark):
     low_ts = dt.datetime(2025, 6, 1)
     assert by_ts[low_ts]["confidence"] >= 0.0
     assert by_ts[low_ts]["text"] == fixed[low_ts]["text"]
+
+
+def test_runner_cascade_with_staged_input(spark, pages_parquet, tmp_path):
+    """cascade=True composes with stage_input=True (the staged read
+    feeds the cascade's pass 1; pass-2 retries still semi-join against
+    the staged chunk)."""
+    from webextract import runner
+
+    pages = (spark.read.parquet(pages_parquet).limit(60)
+             .unionByName(_short_block_pages(spark)))
+    ref = runner.run_job(spark, pages, str(tmp_path / "c1"),
+                         commit_groups=3, cascade=True)
+    staged = runner.run_job(spark, pages, str(tmp_path / "c2"),
+                            commit_groups=3, cascade=True,
+                            stage_input=True)
+
+    def final(df):
+        rows = df.select("url", "text", "status", "confidence").collect()
+        return sorted((r["url"], r["text"], r["status"], r["confidence"])
+                      for r in rows)
+
+    assert final(staged) == final(ref)

@@ -437,3 +437,18 @@ def test_cap_buckets_degenerate_mega_bucket(spark):
     out = sorted(r["doc_id"] for r in
                  dedup.cap_buckets(df, "doc_id", bucket_cap=100).collect())
     assert out == list(range(100))
+
+
+def test_deduplicate_fuzzy_shingle_mode(spark):
+    # shingle tokenization discriminates reorderings that unigram
+    # fuzzy-dedup would (wrongly, for this corpus policy) merge
+    rows = [(1, "w1 w2 w3 w4 w5 w6"), (2, "w6 w5 w4 w3 w2 w1"),
+            (3, "w1 w2 w3 w4 w5 w6")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    uni = {r["doc_id"] for r in
+           dedup.deduplicate_fuzzy(df, threshold=0.9).collect()}
+    assert uni == {1}                      # identical token SETS merge
+    sh = {r["doc_id"] for r in
+          dedup.deduplicate_fuzzy(df, threshold=0.9,
+                                  shingle_n=3).collect()}
+    assert sh == {1, 2}                    # reordering survives
