@@ -452,3 +452,16 @@ def test_deduplicate_fuzzy_shingle_mode(spark):
           dedup.deduplicate_fuzzy(df, threshold=0.9,
                                   shingle_n=3).collect()}
     assert sh == {1, 2}                    # reordering survives
+
+
+def test_ivf_topk_trained_path(clustered_emb):
+    # trained=True end-to-end (Lloyd centroids feed the same search):
+    # neighbors stay within the trained cells and recall on the
+    # clustered fixture is at least as good as the floor
+    exact = {(r["q_id"], r["neighbor_id"])
+             for r in ann.cosine_topk(clustered_emb, None, k=3).collect()}
+    got = {(r["q_id"], r["neighbor_id"])
+           for r in ann.ivf_topk(clustered_emb, k=3, n_cells=3,
+                                 trained=True, probes=2).collect()}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8, f"trained ivf recall@3 {recall:.2f}"
