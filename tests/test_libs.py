@@ -465,3 +465,22 @@ def test_ivf_topk_trained_path(clustered_emb):
                                  trained=True, probes=2).collect()}
     recall = len(got & exact) / len(exact)
     assert recall >= 0.8, f"trained ivf recall@3 {recall:.2f}"
+
+
+def test_deduplicate_embeddings_end_to_end(clustered_emb):
+    # 3 tight clusters of 10 → keep one representative per cluster at a
+    # high threshold (cluster members are mutual near-dups), invalid
+    # rows untouched
+    import pyspark.sql.functions as F
+
+    spark = clustered_emb.sparkSession
+    extra = spark.createDataFrame(
+        [(100, None)], "vec_id bigint, embedding array<float>")
+    emb = clustered_emb.unionByName(extra)
+    kept = {r["vec_id"] for r in
+            ann.deduplicate_embeddings(emb, threshold=0.9999,
+                                       bucket_cap=64).collect()}
+    assert 100 in kept                       # invalid row kept
+    valid_kept = kept - {100}
+    assert {0, 1, 2} <= valid_kept           # one minimum per cluster
+    assert len(valid_kept) < 30              # near-dups removed

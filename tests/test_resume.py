@@ -247,3 +247,20 @@ def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
     got = sorted((r["v"] is None, r["v"] or 0)
                  for r in cat.read(spark, "t").collect())
     assert got == [(False, 1), (True, 0)]  # 5 deleted, 1 and NULL kept
+
+
+def test_catalog_compact(spark, tmp_path):
+    """Compaction rewrites N live parts into one new snapshot; data
+    identical, old snapshot still pinned-readable, expire reclaims."""
+    cat = Catalog(str(tmp_path / "cp"))
+    for lo in (0, 5, 10):
+        cat.append("t", spark.range(lo, lo + 5).selectExpr("id as v"))
+    man = cat.compact(spark, "t")
+    assert man["version"] == 4 and len(man["parts"]) == 1
+    assert sorted(r["v"] for r in cat.read(spark, "t").collect()) \
+        == list(range(15))
+    assert cat.read(spark, "t", version=3).count() == 15  # pinned
+    # idempotent-ish: a second compact below min_parts is a no-op
+    assert cat.compact(spark, "t")["version"] == 4
+    out = cat.expire_snapshots("t", keep_last=1, grace_sec=0.0)
+    assert len(out["removed_parts"]) == 3

@@ -410,6 +410,29 @@ def bucketed_near_dups(emb: DataFrame, threshold: float,
     return _track(out, vecs, bkt)
 
 
+def deduplicate_embeddings(emb: DataFrame, threshold: float,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           n_planes: int = DEFAULT_PLANES,
+                           bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+                           nd: int = 4) -> DataFrame:
+    """End-to-end embedding-cosine near-duplicate REMOVAL — the vector
+    twin of dedup.deduplicate_fuzzy: LSH-bucketed candidate pairs above
+    ``threshold`` (bucketed_near_dups, never all-pairs) → connected
+    components (dedup.cluster_pairs fixpoint) → keep each component's
+    minimum id. Rows with invalid embeddings are KEPT (they can't be
+    near-duplicates of anything)."""
+    from .dedup import cluster_pairs
+
+    pairs = bucketed_near_dups(emb, threshold, id_col, vec_col,
+                               n_planes, bucket_cap, nd)
+    labels = cluster_pairs(pairs.select("vec_a", "vec_b"),
+                           "vec_a", "vec_b")
+    drop = labels.filter(F.col("node") != F.col("cluster_id")) \
+        .select(F.col("node").alias(id_col))
+    return _track(emb.join(drop, id_col, "left_anti"), pairs, labels)
+
+
 def near_dup_pairs(emb: DataFrame, threshold: float,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    nd: int = 4) -> DataFrame:

@@ -242,6 +242,34 @@ class Catalog:
 
         return self._commit(name, make_parts, "delete_where")
 
+    def compact(self, spark: SparkSession, name: str,
+                min_parts: int = 2, target_parts: int = 1) -> dict | None:
+        """Small-files compaction (Iceberg ``rewrite_data_files``
+        analogue): every append adds a part-dir, so a long-running job
+        leaves N-file read amplification behind; compact rewrites all
+        live parts into ``target_parts`` output partitions (1 for small
+        checkpoint tables; size for ~128 MB files at scale) and commits
+        them as one new snapshot part. Old parts
+        stay on disk for pinned reads until ``expire_snapshots``. No-op
+        (returns the current manifest) below ``min_parts``. Runs inside
+        the CAS loop, so an append racing the compaction is never lost —
+        the loser recomputes against the winner's snapshot (the
+        compacted part is reused; only newly-appended parts join it)."""
+        compacted: dict[tuple[str, ...], str] = {}  # src parts → new part
+
+        def make_parts(prev):
+            if prev is None or len(prev["parts"]) < min_parts:
+                return None
+            src = tuple(prev["parts"])
+            if src not in compacted:
+                df = spark.read.parquet(
+                    *[os.path.join(self._tdir(name), p) for p in src])
+                compacted[src] = self._new_part(
+                    name, df.coalesce(max(1, target_parts)))
+            return [compacted[src]]
+
+        return self._commit(name, make_parts, "compact")
+
     def expire_snapshots(self, name: str, keep_last: int = 1,
                          grace_sec: float = 600.0) -> dict:
         """TTL / space reclamation (S7 — Iceberg ``expire_snapshots``
