@@ -484,3 +484,26 @@ def test_deduplicate_embeddings_end_to_end(clustered_emb):
     valid_kept = kept - {100}
     assert {0, 1, 2} <= valid_kept           # one minimum per cluster
     assert len(valid_kept) < 30              # near-dups removed
+
+
+def test_lsh_multiprobe_recall_monotone(spark):
+    # flipping probe bits can only add candidates ⇒ recall must not drop
+    # (and on a spread-out corpus it should genuinely rise)
+    import math
+
+    rows = [(i, [math.cos(i * 0.37 + d) + 0.01 * ((i * 7 + d) % 5)
+                 for d in range(8)]) for i in range(200)]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>")
+    exact = {(r["q_id"], r["neighbor_id"])
+             for r in ann.cosine_topk(emb, None, k=3).collect()}
+
+    def recall(flips):
+        got = {(r["q_id"], r["neighbor_id"])
+               for r in ann.bucketed_topk(emb, k=3, bucket_cap=64,
+                                          probe_flips=flips).collect()}
+        return len(got & exact) / len(exact)
+
+    r0, r4 = recall(0), recall(4)
+    assert r4 >= r0
+    assert r4 > 0

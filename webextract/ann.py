@@ -170,11 +170,27 @@ def bucketed_topk(emb: DataFrame, id_col: str = "vec_id",
                   vec_col: str = "embedding", k: int = 1,
                   n_planes: int = DEFAULT_PLANES,
                   bucket_cap: int | None = DEFAULT_BUCKET_CAP,
-                  nd: int = 4) -> DataFrame:
+                  nd: int = 4, probe_flips: int = 0) -> DataFrame:
     """(q_id, neighbor_id, cosine): each vector's top-k neighbors WITHIN
-    its LSH bucket — exact cosine, partition-local ranking."""
+    its LSH bucket — exact cosine, partition-local ranking.
+
+    ``probe_flips`` is the LSH recall dial (multiprobe LSH): each QUERY
+    also searches the buckets at hamming distance 1 over its first
+    ``probe_flips`` plane bits — a near-miss neighbor differs from the
+    query in one marginal hyperplane sign with high probability, so
+    flipping single bits recovers most of what bucket boundaries cut.
+    Candidates stay single-bucket/capped; cost grows ~linearly in
+    (1 + probe_flips)."""
     bkt = lsh_buckets(emb, id_col, vec_col, n_planes)
-    return _topk_within(emb, bkt, id_col, vec_col, k, bucket_cap, nd)
+    if probe_flips <= 0:
+        return _topk_within(emb, bkt, id_col, vec_col, k, bucket_cap, nd)
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << j))
+          for j in range(min(probe_flips, n_planes))])
+    qbkt = bkt.select(id_col, F.explode(probes).alias("bucket"))
+    return _topk_within(emb, bkt, id_col, vec_col, k, bucket_cap, nd,
+                        query_bkt=_track(qbkt, bkt))
 
 
 def ivf_centroids(emb: DataFrame, id_col: str = "vec_id",
