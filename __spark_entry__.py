@@ -1794,18 +1794,32 @@ _register("simhash_near_dup_pairs", _simhash_near_dup_pairs,
           _SIMHASH_PAIRS_SQL)
 
 
-_sqlq("embedding_norms", ["embeddings"], """
+# Embedding-validity predicate, BOTH dialects (ADVICE r3): ann._valid
+# drops null/empty embeddings and vectors holding a NULL element on the
+# Spark side of every ANN kernel — the oracles must apply the SAME
+# filter or any fixture row with an invalid vector diverges the engines
+# (DuckDB list_sum SKIPS null elements and returns NULL on empty; the
+# Spark in-row fold returns NULL / 0.0 respectively). Pinned by
+# tests/test_libs.py::test_ann_oracles_agree_on_invalid_rows, which runs
+# these very oracles against a fixture that DOES contain invalid rows.
+_EMB_VALID_DUCK = ("embedding IS NOT NULL AND len(embedding) > 0 "
+                   "AND len(list_filter(embedding, x -> x IS NULL)) = 0")
+_EMB_VALID_SPARK = ("embedding IS NOT NULL AND size(embedding) > 0 "
+                    "AND NOT exists(embedding, x -> x IS NULL)")
+
+
+_sqlq("embedding_norms", ["embeddings"], f"""
 SELECT vec_id, label,
        round(sqrt(aggregate(embedding, cast(0.0 as double),
                             (acc, x) -> acc + cast(x as double) * cast(x as double))), 4) AS l2_norm,
        cast(size(embedding) as bigint) AS dim
-FROM embeddings
-""", """
+FROM embeddings WHERE {_EMB_VALID_SPARK}
+""", f"""
 SELECT vec_id, label,
        round(sqrt(list_sum(list_transform(embedding,
                             x -> cast(x as double) * cast(x as double)))), 4) AS l2_norm,
        cast(len(embedding) as bigint) AS dim
-FROM embeddings
+FROM embeddings WHERE {_EMB_VALID_DUCK}
 """)
 
 
@@ -1813,9 +1827,10 @@ FROM embeddings
 # k = 5. Dot products via position join; ranking on the ROUNDED similarity
 # with vec_id tiebreak so both engines pick identical neighbor sets.
 # (Spark side lives in webextract.ann.cosine_topk.)
-_COSINE_DUCK = """
+_COSINE_DUCK = f"""
 WITH flat AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-                     unnest(embedding) AS e FROM embeddings),
+                     unnest(embedding) AS e
+              FROM embeddings WHERE {_EMB_VALID_DUCK}),
 nrm AS (SELECT vec_id, sqrt(sum(cast(e as double) * cast(e as double))) AS n
         FROM flat GROUP BY vec_id),
 dots AS (
@@ -1874,7 +1889,8 @@ def _ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _register("ann_lsh_buckets", _ann_lsh_buckets,
           _ann_lsh_sql("SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i0, "
-                       "unnest(embedding) AS e FROM embeddings"))
+                       "unnest(embedding) AS e FROM embeddings "
+                       f"WHERE {_EMB_VALID_DUCK}"))
 
 
 _sqlq("multimodal_binary_meta", ["documents"], f"""
@@ -1978,10 +1994,9 @@ WHERE dot / (na.n * nb.n) >= 0.4
 """
 
 
-_FLAT_SPARK = ("SELECT vec_id, i, e FROM "
-               "(SELECT vec_id, posexplode(embedding) AS (i, e) FROM embeddings)")
 _FLAT_DUCK = ("SELECT vec_id, generate_subscripts(embedding, 1) AS i, "
-              "unnest(embedding) AS e FROM embeddings")
+              "unnest(embedding) AS e FROM embeddings "
+              f"WHERE {_EMB_VALID_DUCK}")
 
 def _embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[dedup: embedding-cosine near-dup] webextract.ann.near_dup_pairs —
@@ -2127,6 +2142,7 @@ def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANN_IVF_SQL = f"""
 WITH seeds AS (
   SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings
+  WHERE {_EMB_VALID_DUCK}
   ORDER BY md5(cast(vec_id as varchar)), vec_id LIMIT {_IVF_CELLS}),
 assign AS (
   SELECT e.vec_id, s.cell_id,
@@ -2134,7 +2150,7 @@ assign AS (
             i -> (cast(e.embedding[i] as double) - cast(s.cvec[i] as double))
                * (cast(e.embedding[i] as double) - cast(s.cvec[i] as double))),
             (acc, x) -> acc + x) AS dist
-  FROM embeddings e, seeds s),
+  FROM (SELECT * FROM embeddings WHERE {_EMB_VALID_DUCK}) e, seeds s),
 bkt AS (
   SELECT vec_id, bucket FROM (
     SELECT vec_id, cell_id AS bucket,
@@ -2321,9 +2337,10 @@ _RECALL_PLANES = 4
 
 
 def _ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[ANN recall gate] recall@5 of bucketed_topk (hyperplane LSH) and
-    ivf_topk (sampled centroids) vs cosine_topk(None) exact baseline:
-    (method, n_hits, n_queries, recall_at_k)."""
+    """[ANN recall gate] recall@5 of bucketed_topk (hyperplane LSH, plus
+    the probe_flips=2 multiprobe dial as 'lsh_f2') and ivf_topk (sampled
+    centroids, plus the probes=2 dial as 'ivf_p2') vs cosine_topk(None)
+    exact baseline: (method, n_hits, n_queries, recall_at_k)."""
     _prep(spark)
     from webextract import ann
     from webextract.cache import track
@@ -2334,6 +2351,9 @@ def _ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = ann.bucketed_topk(emb, k=_RECALL_K, n_planes=_RECALL_PLANES,
                             bucket_cap=_ANN_BUCKET_CAP) \
         .select("q_id", "neighbor_id")
+    lsh2 = ann.bucketed_topk(emb, k=_RECALL_K, n_planes=_RECALL_PLANES,
+                             bucket_cap=_ANN_BUCKET_CAP, probe_flips=2) \
+        .select("q_id", "neighbor_id")
     ivf = ann.ivf_topk(emb, k=_RECALL_K, n_cells=_IVF_CELLS,
                        bucket_cap=_ANN_BUCKET_CAP) \
         .select("q_id", "neighbor_id")
@@ -2341,6 +2361,7 @@ def _ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                         bucket_cap=_ANN_BUCKET_CAP, probes=2) \
         .select("q_id", "neighbor_id")
     appr = (lsh.withColumn("method", F.lit("lsh"))
+            .unionByName(lsh2.withColumn("method", F.lit("lsh_f2")))
             .unionByName(ivf.withColumn("method", F.lit("ivf")))
             .unionByName(ivf2.withColumn("method", F.lit("ivf_p2"))))
     hits = (appr.join(exact, ["q_id", "neighbor_id"])
@@ -2400,8 +2421,27 @@ lshk AS (
     FROM lshdots JOIN nrm nq ON nq.vec_id = q_id
                  JOIN nrm nc ON nc.vec_id = c_id)
   WHERE rk <= {k}),
+lshq2 AS (
+  SELECT vec_id, bucket FROM bkt
+  UNION ALL SELECT vec_id, xor(bucket, 1) AS bucket FROM bkt
+  UNION ALL SELECT vec_id, xor(bucket, 2) AS bucket FROM bkt),
+lsh2dots AS (
+  SELECT p.q_id, p.c_id, sum(cast(q.e as double) * cast(c.e as double)) AS dot
+  FROM (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS c_id
+        FROM lshq2 a JOIN bktc b ON a.bucket = b.bucket
+                     AND a.vec_id <> b.vec_id) p
+  JOIN flat q ON q.vec_id = p.q_id
+  JOIN flat c ON c.vec_id = p.c_id AND q.i = c.i
+  GROUP BY p.q_id, p.c_id),
+lsh2k AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id, {rank} AS rk
+    FROM lsh2dots JOIN nrm nq ON nq.vec_id = q_id
+                  JOIN nrm nc ON nc.vec_id = c_id)
+  WHERE rk <= {k}),
 seeds AS (
   SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings
+  WHERE {_EMB_VALID_DUCK}
   ORDER BY md5(cast(vec_id as varchar)), vec_id LIMIT {_IVF_CELLS}),
 assign AS (
   SELECT e.vec_id, s.cell_id,
@@ -2409,7 +2449,7 @@ assign AS (
             i -> (cast(e.embedding[i] as double) - cast(s.cvec[i] as double))
                * (cast(e.embedding[i] as double) - cast(s.cvec[i] as double))),
             (acc, x) -> acc + x) AS dist
-  FROM embeddings e, seeds s),
+  FROM (SELECT * FROM embeddings WHERE {_EMB_VALID_DUCK}) e, seeds s),
 ivfbkt AS (
   SELECT vec_id, bucket FROM (
     SELECT vec_id, cell_id AS bucket,
@@ -2456,6 +2496,8 @@ ivf2k AS (
   WHERE rk <= {k}),
 appr AS (
   SELECT 'lsh' AS method, q_id, c_id FROM lshk
+  UNION ALL
+  SELECT 'lsh_f2' AS method, q_id, c_id FROM lsh2k
   UNION ALL
   SELECT 'ivf' AS method, q_id, c_id FROM ivfk
   UNION ALL

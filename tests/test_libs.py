@@ -507,3 +507,62 @@ def test_lsh_multiprobe_recall_monotone(spark):
     r0, r4 = recall(0), recall(4)
     assert r4 >= r0
     assert r4 > 0
+
+
+def test_ivf_multiprobe_release_on_result(clustered_emb):
+    # ADVICE r3 (medium): ivf_topk(probes>1) passes DERIVED frames into
+    # _topk_within, so the persisted chain (ranked assignments, trained
+    # centroids) must arrive on the result via query_bkt — release() on
+    # the outermost result has to reclaim EVERYTHING the call persisted
+    from webextract import cache
+
+    cache.release_all()  # clean slate
+    out = ann.ivf_topk(clustered_emb, k=1, n_cells=3, probes=2)
+    out.count()
+    assert cache.release(out) >= 1
+    # nothing left for the sweep: the per-result contract held
+    assert cache.release_all() == 0
+
+
+def test_ann_oracles_agree_on_invalid_rows(spark, tmp_path):
+    # ADVICE r3: the Spark kernels drop null/empty/null-element
+    # embeddings (ann._valid); the DuckDB oracles must apply the SAME
+    # filter. Run the registered query + oracle pairs on a fixture that
+    # CONTAINS invalid rows and require identical value hashes — before
+    # the fix the oracles only matched because the driver fixture was
+    # all-valid.
+    import duckdb
+
+    import __spark_entry__ as entry
+    from scripts.check_entry import value_hash
+    from webextract import cache
+
+    rows = []
+    for i in range(24):
+        rows.append((i, [float((i * 7 + d * 3) % 11 - 5) + 0.1 * d
+                         for d in range(8)], i % 3))
+    rows += [(90, [], 0),                                   # empty
+             (91, None, 1),                                 # null array
+             (92, [1.0, None, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0], 2)]  # null elem
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int")
+    sf_dir = str(tmp_path)
+    emb.coalesce(1).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS "
+            f"SELECT * FROM '{sf_dir}/embeddings.parquet/*.parquet'")
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    for name in ["embedding_norms", "ann_lsh_buckets", "ann_lsh_topk",
+                 "ann_ivf_topk", "cosine_topk_bruteforce",
+                 "embedding_near_dup_bucketed"]:
+        try:
+            sdf = qs[name](spark, sf_dir).toPandas()
+        finally:
+            cache.release_all()
+        ddf = con.sql(oracles[name]).df()
+        assert value_hash(sdf) == value_hash(ddf), name
+        # and the invalid ids really are excluded everywhere
+        for col in ("vec_id", "q_id", "neighbor_id", "vec_a", "vec_b"):
+            if col in sdf.columns:
+                assert not set(sdf[col]) & {90, 91, 92}, (name, col)

@@ -18,9 +18,11 @@ the ARRAY-TYPED vectors to the pair frame and folding
 pair through the shuffle. Round 2 joined position-exploded ``(id, i, e)``
 rows instead, which put D rows per pair through the pair join (768× row
 amplification at real embedding widths). ``ivf_assign`` proved the fold
-is engine-exact vs the DuckDB oracles; now every kernel uses it. The
-only remaining flattened pass is ``lsh_buckets``'s per-VECTOR projection
-aggregation (O(N·D) rows, map-side combined, no pair amplification).
+is engine-exact vs the DuckDB oracles; now EVERY kernel uses it —
+including ``lsh_buckets``, whose hyperplane projections are zero-shuffle
+in-row folds (no posexplode anywhere in this module's hot paths; the one
+explode left is ``ivf_centroids_kmeans``'s per-(cell, dim) mean, C·D
+groups crushed map-side).
 
 Hot buckets (a dense embedding cluster collapsing into one bucket) are
 the quadratic hazard at 100 TB: ``bucketed_topk(bucket_cap=…)``
@@ -52,18 +54,6 @@ from .dedup import cap_buckets
 
 DEFAULT_PLANES = 8
 DEFAULT_BUCKET_CAP = 64
-
-
-def flatten(emb: DataFrame, id_col: str = "vec_id",
-            vec_col: str = "embedding") -> DataFrame:
-    """(id, i, e): 0-based position-exploded components."""
-    return emb.select(id_col, F.posexplode(vec_col).alias("i", "e"))
-
-
-def norms(flat: DataFrame, id_col: str = "vec_id") -> DataFrame:
-    return flat.groupBy(id_col).agg(
-        F.sqrt(F.sum(F.col("e").cast("double") * F.col("e").cast("double")))
-        .alias("n"))
 
 
 def _valid(emb: DataFrame, vec_col: str) -> DataFrame:
@@ -366,7 +356,11 @@ def _topk_within(emb: DataFrame, bkt: DataFrame, id_col: str, vec_col: str,
         .select("q_id", F.col("c_id").alias("neighbor_id"),
                 F.col("_cos").alias("cosine"))
     )
-    return _track(out, vecs, bkt)
+    # query_bkt must ride along too: multi-probe callers pass DERIVED
+    # frames as bkt (attribute tracking doesn't survive .filter/.select),
+    # so the persisted chain (ranked/centroids) arrives via query_bkt —
+    # dropping it broke the release-on-outermost-result contract (ADVICE r3)
+    return _track(out, vecs, bkt, query_bkt)
 
 
 def cosine_topk(emb: DataFrame, query_ids: list | None, k: int = 5,
