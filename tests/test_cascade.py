@@ -60,6 +60,34 @@ def test_cascade_gate_semantics(spark, pages_parquet):
     assert n_accepted > 0 and n_retried >= 3 and n_improved >= 3
 
 
+def test_cascade_cheap_fields_gate_semantics(spark, pages_parquet):
+    # cheap_fields=True: pass 1 is strict-profile + patterns-only fields.
+    # Same gate contract as the full cascade, pinned against the two
+    # fixed engines it composes (r3 verdict #5).
+    pages = (spark.read.parquet(pages_parquet).limit(100)
+             .unionByName(_short_block_pages(spark)))
+    cheap = _rows(pipeline.run_extract(pages, profiles=("strict",),
+                                       patterns_only=True))
+    full = _rows(pipeline.run_extract(pages))
+    casc = _rows(pipeline.run_extract_cascade(pages, accept=0.7,
+                                              cheap_fields=True))
+    assert set(casc) == set(cheap)
+    n_accepted = n_retried = 0
+    for url, r in casc.items():
+        c = cheap[url]
+        if c["status"] != "COMPLETED" or c["confidence"] >= 0.7:
+            n_accepted += 1
+            assert r == c
+            # accepted rows carry patterns-only spans: no other method
+            assert all(s["method"] in ("pattern", "none") for s in r["spans"])
+        else:
+            n_retried += 1
+            f = full[url]
+            want = f if f["confidence"] > c["confidence"] else c
+            assert r == want
+    assert n_accepted > 0 and n_retried >= 3
+
+
 def test_cascade_accept_zero_equals_cheap_pass(spark, pages_parquet):
     pages = spark.read.parquet(pages_parquet).limit(80)
     strict = _rows(pipeline.run_extract(pages, profiles=("strict",)))

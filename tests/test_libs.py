@@ -372,13 +372,40 @@ def test_deduplicate_fuzzy_removes_near_dups(spark):
         (4, "another document with its own distinct vocabulary set"),
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # max_doc_frac=None: on a 5-doc corpus the default 0.5 guard would
+    # (correctly, per its contract) drop the shared vocabulary itself
     kept = {r["doc_id"]
-            for r in dedup.deduplicate_fuzzy(df, threshold=0.7).collect()}
+            for r in dedup.deduplicate_fuzzy(df, threshold=0.7,
+                                             max_doc_frac=None).collect()}
     # 0/1/2 form one near-dup cluster (jaccard(0,2) = 8/10 >= 0.7) → keep 0
     assert kept == {0, 3, 4}
     # strict variant keeps the near-dup (different token set)
     strict = {r["doc_id"] for r in dedup.deduplicate(df).collect()}
     assert strict == {0, 2, 3, 4}
+
+
+def test_fuzzy_dedup_hot_token_guard_default_on(spark):
+    # stop-word-heavy corpus: 60 docs sharing a 20-token boilerplate
+    # prefix, each with 5 unique tail tokens (Jaccard 20/30 < 0.7 — NOT
+    # near-dups). Unguarded unigram banding collides everyone on the
+    # stop-words and feeds O(N²) pairs to the verify join; the default
+    # max_doc_frac=0.5 drops the boilerplate first and the candidate set
+    # stays bounded (r3 verdict #4).
+    stop = " ".join(f"s{i}" for i in range(20))
+    rows = [(d, f"{stop} u{d}a u{d}b u{d}c u{d}d u{d}e") for d in range(60)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def n_candidates(frac):
+        tok = dedup.distinct_tokens(df, max_doc_frac=frac)
+        sig = dedup.minhash_signatures_from_tokens(tok, "doc_id", 4)
+        return dedup.candidate_pairs(sig, "doc_id", 4, 2).count()
+
+    unguarded, guarded = n_candidates(None), n_candidates(0.5)
+    assert unguarded > 500           # the quadratic trap, demonstrated
+    assert guarded < 50              # bounded by default
+    # and the default end-to-end path keeps every non-duplicate doc
+    kept = {r["doc_id"] for r in dedup.deduplicate_fuzzy(df).collect()}
+    assert kept == set(range(60))
 
 
 def test_ann_drops_null_and_empty_embeddings(spark):
@@ -446,7 +473,8 @@ def test_deduplicate_fuzzy_shingle_mode(spark):
             (3, "w1 w2 w3 w4 w5 w6")]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     uni = {r["doc_id"] for r in
-           dedup.deduplicate_fuzzy(df, threshold=0.9).collect()}
+           dedup.deduplicate_fuzzy(df, threshold=0.9,
+                                   max_doc_frac=None).collect()}
     assert uni == {1}                      # identical token SETS merge
     sh = {r["doc_id"] for r in
           dedup.deduplicate_fuzzy(df, threshold=0.9,

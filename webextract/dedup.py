@@ -435,7 +435,7 @@ def deduplicate_fuzzy(df: DataFrame, id_col: str = "doc_id",
                       n_hashes: int = 4, rows_per_band: int = 2,
                       shingle_n: int | None = None,
                       bucket_cap: int | None = DEFAULT_BUCKET_CAP,
-                      max_doc_frac: float | None = None) -> DataFrame:
+                      max_doc_frac: float | None = 0.5) -> DataFrame:
     """End-to-end NEAR-duplicate removal — the full recall→precision→
     cluster pipeline composed: LSH candidates (banded minhash over
     unigrams, or ``shingle_n``-token shingles) → exact Jaccard ≥
@@ -444,8 +444,15 @@ def deduplicate_fuzzy(df: DataFrame, id_col: str = "doc_id",
     component's minimum id. ``deduplicate`` is the strict
     (identical-token-set) variant; this one removes rewordings and
     near-copies at the cost of the verify join. All scale guards apply:
-    capped buckets, optional hot-token drop, candidates-only Jaccard,
-    star-free linear edges."""
+    capped buckets, hot-token drop, candidates-only Jaccard, star-free
+    linear edges. The hot-token guard is ON BY DEFAULT in unigram mode
+    (``max_doc_frac=0.5``): stop-words present in most documents inflate
+    banding collisions until everything is everyone's candidate — the
+    quadratic trap on a real corpus. Pass ``max_doc_frac=None`` only for
+    small/curated corpora where every token is discriminative (tiny
+    corpora are exactly where a 0.5 doc-fraction cut removes legitimate
+    vocabulary). Shingle mode ignores the knob — n-token shingles are
+    self-discriminating."""
     tok = distinct_tokens(df, id_col, text_col, max_doc_frac) \
         if shingle_n is None else shingles(df, id_col, text_col, shingle_n)
     tok = _persist(tok, True)

@@ -82,9 +82,12 @@ def best_candidate(cands: list[dict]) -> dict | None:
 
 
 def extract_document(url: str, payload: bytes,
-                     profiles: tuple[str, ...] | None = None) -> dict:
+                     profiles: tuple[str, ...] | None = None,
+                     patterns_only: bool = False) -> dict:
     """Full per-document pipeline → one row of the ``extracted`` table.
-    ``profiles`` restricts the candidate ensemble (M12 cascade)."""
+    ``profiles`` restricts the candidate ensemble; ``patterns_only``
+    restricts the fields stage to the compiled-pattern arm (both M12
+    cascade cheap-pass knobs)."""
     doc_type = detect_doc_type(url)
     parsed = parse_candidates(payload, profiles)
     if parsed["error"] is not None:
@@ -102,7 +105,7 @@ def extract_document(url: str, payload: bytes,
     best = best_candidate(parsed["candidates"])
     text = best["text"] if best else ""
     blocks = best["blocks"] if best else []
-    spans, confidence = extract_spans(text, doc_type)
+    spans, confidence = extract_spans(text, doc_type, patterns_only)
     return {
         "url": url,
         "doc_type": doc_type,

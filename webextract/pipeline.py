@@ -171,7 +171,8 @@ def run_extract_full(pages: DataFrame, n_buckets: int = DEFAULT_BUCKETS,
                      partitions: int | None = None,
                      fused: bool = True,
                      repartition: bool = False,
-                     profiles: tuple[str, ...] | None = None) -> DataFrame:
+                     profiles: tuple[str, ...] | None = None,
+                     patterns_only: bool = False) -> DataFrame:
     """pages → extracted, keeping the lineage side-band columns
     (bucket, bytes_in, _wall_ms).
 
@@ -193,34 +194,38 @@ def run_extract_full(pages: DataFrame, n_buckets: int = DEFAULT_BUCKETS,
     (the checkpointed runner's commit groups).
     """
     if not fused:
-        if profiles is not None:
-            raise ValueError("profiles is a fused-path option (the staged "
-                             "path materializes the full ensemble for C4)")
+        if profiles is not None or patterns_only:
+            raise ValueError("profiles/patterns_only are fused-path options "
+                             "(the staged path materializes the full "
+                             "ensemble for C4)")
         return stage_fields(stage_assemble(stage_parse(pages, n_buckets, partitions)))
     prepped = with_bucket(pages.select("url", "warc_ts", "html"), n_buckets)
     if repartition:
         n_parts = partitions or prepped.sparkSession.conf.get(
             "spark.sql.shuffle.partitions")
         prepped = prepped.repartition(int(n_parts), "bucket")
-    body = (udfs.extract_batches if profiles is None
-            else udfs.make_extract_batches(profiles))
+    body = (udfs.extract_batches if profiles is None and not patterns_only
+            else udfs.make_extract_batches(profiles, patterns_only))
     return prepped.mapInPandas(body, udfs.EXTRACTED_FIELDS_SCHEMA)
 
 
 def run_extract(pages: DataFrame, n_buckets: int = DEFAULT_BUCKETS,
                 partitions: int | None = None, fused: bool = True,
                 repartition: bool = False,
-                profiles: tuple[str, ...] | None = None) -> DataFrame:
+                profiles: tuple[str, ...] | None = None,
+                patterns_only: bool = False) -> DataFrame:
     """pages → extracted (no checkpointing; see runner.py for the
     checkpointed, resumable job)."""
     return run_extract_full(
-        pages, n_buckets, partitions, fused, repartition, profiles
+        pages, n_buckets, partitions, fused, repartition, profiles,
+        patterns_only
     ).select(*EXTRACTED_COLUMNS)
 
 
 def run_extract_cascade(pages: DataFrame, accept: float = 0.7,
                         cheap_profiles: tuple[str, ...] = ("strict",),
-                        n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+                        n_buckets: int = DEFAULT_BUCKETS,
+                        cheap_fields: bool = False) -> DataFrame:
     """M12 — the reference's confidence-gated engine cascade
     (ai_service_local.py:513-537: local result ≥ threshold → accept;
     below → try the expensive engine, keep the strictly-better result) as
@@ -237,17 +242,28 @@ def run_extract_cascade(pages: DataFrame, accept: float = 0.7,
     Config-off by design: ``run_extract`` stays the fixed deterministic
     default (SURVEY §7.4); the cascade is itself deterministic, just a
     different accept policy. At 100 TB this is the adaptive-cost story —
-    the confident majority never pays the ensemble."""
+    the confident majority never pays the ensemble.
+
+    ``cheap_fields=True`` additionally runs pass 1 with the patterns-only
+    fields arm (fields.extract_spans patterns_only — no sentence split /
+    proximity / entity / fallback scans), which makes pass 1 genuinely
+    cheaper even on corpora where the DOM parse dominates; a doc whose
+    patterns all miss lands at confidence 0 and escalates. Measured on
+    the fixture corpus this flips the cascade from ~2× the fixed path to
+    ~0.7× (r3 verdict #5; BENCH.md)."""
     return _cascade(
         pages, accept, EXTRACTED_COLUMNS,
-        lambda p, prof: run_extract(p, n_buckets=n_buckets, profiles=prof),
+        lambda p, prof: run_extract(
+            p, n_buckets=n_buckets, profiles=prof,
+            patterns_only=cheap_fields and prof is not None),
         cheap_profiles)
 
 
 def run_extract_cascade_full(pages: DataFrame, accept: float = 0.7,
                              cheap_profiles: tuple[str, ...] = ("strict",),
                              n_buckets: int = DEFAULT_BUCKETS,
-                             repartition: bool = False) -> DataFrame:
+                             repartition: bool = False,
+                             cheap_fields: bool = False) -> DataFrame:
     """Cascade variant keeping the lineage side-band columns (bucket,
     bytes_in, _wall_ms) — what the checkpointed runner commits
     (runner.run_job(cascade=True)). _wall_ms of a retried document is
@@ -258,9 +274,9 @@ def run_extract_cascade_full(pages: DataFrame, accept: float = 0.7,
             "error", "_wall_ms"]
     return _cascade(
         pages, accept, cols,
-        lambda p, prof: run_extract_full(p, n_buckets=n_buckets,
-                                         repartition=repartition,
-                                         profiles=prof),
+        lambda p, prof: run_extract_full(
+            p, n_buckets=n_buckets, repartition=repartition, profiles=prof,
+            patterns_only=cheap_fields and prof is not None),
         cheap_profiles)
 
 

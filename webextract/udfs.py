@@ -48,17 +48,20 @@ EXTRACTED_FIELDS_SCHEMA = (
 )
 
 
-def make_extract_batches(profiles: tuple[str, ...] | None = None):
+def make_extract_batches(profiles: tuple[str, ...] | None = None,
+                         patterns_only: bool = False):
     """Factory for the fused body with a restricted candidate-profile
-    ensemble (M12 cascade cheap pass). The closure ships to executors
-    via cloudpickle like any mapInPandas body."""
+    ensemble and/or the patterns-only fields arm (M12 cascade cheap
+    pass). The closure ships to executors via cloudpickle like any
+    mapInPandas body."""
     def body(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        return extract_batches(it, profiles)
+        return extract_batches(it, profiles, patterns_only)
     return body
 
 
 def extract_batches(it: Iterator[pd.DataFrame],
-                    profiles: tuple[str, ...] | None = None
+                    profiles: tuple[str, ...] | None = None,
+                    patterns_only: bool = False
                     ) -> Iterator[pd.DataFrame]:
     """Fused single-pass body: the whole per-document pipeline
     (oracle.extract_document: parse → best-of → fields) in ONE Python
@@ -71,7 +74,7 @@ def extract_batches(it: Iterator[pd.DataFrame],
         payloads = pdf["html"]
         recs = [
             oracle.extract_document(url, bytes(b) if b is not None else b"",
-                                    profiles)
+                                    profiles, patterns_only)
             for url, b in zip(pdf["url"], payloads)
         ]
         out = pd.DataFrame(
