@@ -4,7 +4,11 @@ byte corruption — must (a) terminate, (b) never throw past the document
 (failures are data, C2), and (c) keep Spark byte-identical to the
 single-node oracle on every mutant."""
 
+import zlib
+
 import pyspark.sql.functions as F
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from webextract import fixtures, oracle, pipeline
 
@@ -35,6 +39,48 @@ def test_oracle_total_on_mutants():
             assert rec["error"]
         n += 1
     assert n == N_BASE * 4
+
+
+# --- Hypothesis raw-bytes PDF fuzz (r3 verdict #8): the from-scratch
+# parser must be TOTAL on adversarial xref/stream garbage — FAILED rows
+# (or a successful parse), never an uncaught exception. Two generators:
+# pure noise after the %PDF- magic, and "structured garbage" assembled
+# from real PDF structural tokens so the fuzzer reaches the object /
+# xref / stream / text-run machinery instead of bouncing off the first
+# regex.
+
+_PDF_TOKENS = st.sampled_from([
+    b"1 0 obj", b"endobj", b"stream\n", b"endstream", b"xref",
+    b"trailer", b"<< /Type /Page /Contents 3 0 R >>",
+    b"<< /Type /Pages /Kids [3 0 R 99 0 R] /Count 2 >>",
+    b"<< /Length 5 /Filter /FlateDecode >>",
+    b"BT /F1 12 Tf 72 700 Td (hi \\050there\\051 \\999) Tj ET",
+    b"(unterminated \\", b")", b"0000000000 65535 f\n",
+    b"startxref\n-17\n%%EOF", b"%%EOF", b"[3 0 R", b"/Contents",
+    zlib.compress(b"BT (deflated) Tj ET")[:11],  # corrupt deflate body
+    zlib.compress(b"BT 1 0 0 1 50 50 Tm (ok) Tj ET"),
+    b"\x00\xff\xfe", b" 99999999999999999999 ",
+])
+
+_pdf_noise = st.binary(min_size=0, max_size=400).map(lambda b: b"%PDF-" + b)
+_pdf_structured = st.lists(
+    st.one_of(_PDF_TOKENS, st.binary(max_size=24)), min_size=0, max_size=30,
+).map(lambda parts: b"%PDF-1.4\n" + b"\n".join(parts))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.one_of(_pdf_noise, _pdf_structured))
+def test_pdf_parser_total_on_arbitrary_bytes(payload):
+    rec = oracle.extract_document("https://ex.org/fuzz/x.pdf", payload)
+    assert rec["status"] in ("COMPLETED", "FAILED")
+    assert isinstance(rec["text"], str)
+    assert isinstance(rec["n_pages"], int) and rec["n_pages"] >= 0
+    if rec["status"] == "FAILED":
+        assert rec["error"]
+    else:
+        # spans/blocks stay well-formed on whatever survived parsing
+        assert all(s["start"] <= s["end"] or s["start"] == -1
+                   for s in rec["spans"])
 
 
 def test_spark_equals_oracle_on_mutants(spark):

@@ -594,3 +594,49 @@ def test_ann_oracles_agree_on_invalid_rows(spark, tmp_path):
         for col in ("vec_id", "q_id", "neighbor_id", "vec_a", "vec_b"):
             if col in sdf.columns:
                 assert not set(sdf[col]) & {90, 91, 92}, (name, col)
+
+
+def test_blas_kernels_match_fold(clustered_emb):
+    # kernel='blas' (Arrow matmul bucket blocks, r4) must emit EXACTLY
+    # the fold kernel's rows after the shared HALF_UP rounding — same
+    # buckets (lsh_buckets_blas replays the pseudo-plane weights), same
+    # tiebreaks (stable argsort over id-sorted candidates), on every
+    # path: LSH, multiprobe LSH, IVF, multiprobe IVF
+    from webextract import cache
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    variants = [
+        lambda kern: ann.bucketed_topk(clustered_emb, k=3, kernel=kern),
+        lambda kern: ann.bucketed_topk(clustered_emb, k=3, probe_flips=2,
+                                       kernel=kern),
+        lambda kern: ann.ivf_topk(clustered_emb, k=3, n_cells=3,
+                                  kernel=kern),
+        lambda kern: ann.ivf_topk(clustered_emb, k=3, n_cells=5, probes=2,
+                                  kernel=kern),
+    ]
+    for i, mk in enumerate(variants):
+        try:
+            assert canon(mk("fold")) == canon(mk("blas")), f"variant {i}"
+        finally:
+            cache.release_all()
+
+
+def test_blas_kernel_drops_invalid_and_releases(spark):
+    # the blas path must share the fold path's validity contract (null /
+    # empty vectors vanish) and its cache-release contract (release on
+    # the outermost result reclaims the whole persisted chain)
+    from webextract import cache
+
+    rows = [(0, [1.0, 2.0, 3.0, 4.0]), (1, [1.0, 2.0, 3.0, 4.1]),
+            (2, []), (3, None), (4, [0.9, 2.0, 3.0, 4.0])]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cache.release_all()
+    out = ann.ivf_topk(emb, k=2, n_cells=2, probes=2, kernel="blas")
+    got = out.collect()
+    assert got, "clustered 4-dim fixture must yield neighbors"
+    for r in got:
+        assert r["q_id"] not in {2, 3} and r["neighbor_id"] not in {2, 3}
+    cache.release(out)
+    assert cache.release_all() == 0, "release(result) left frames cached"

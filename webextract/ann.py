@@ -160,7 +160,8 @@ def bucketed_topk(emb: DataFrame, id_col: str = "vec_id",
                   vec_col: str = "embedding", k: int = 1,
                   n_planes: int = DEFAULT_PLANES,
                   bucket_cap: int | None = DEFAULT_BUCKET_CAP,
-                  nd: int = 4, probe_flips: int = 0) -> DataFrame:
+                  nd: int = 4, probe_flips: int = 0,
+                  kernel: str = "fold") -> DataFrame:
     """(q_id, neighbor_id, cosine): each vector's top-k neighbors WITHIN
     its LSH bucket — exact cosine, partition-local ranking.
 
@@ -170,17 +171,29 @@ def bucketed_topk(emb: DataFrame, id_col: str = "vec_id",
     query in one marginal hyperplane sign with high probability, so
     flipping single bits recovers most of what bucket boundaries cut.
     Candidates stay single-bucket/capped; cost grows ~linearly in
-    (1 + probe_flips)."""
-    bkt = lsh_buckets(emb, id_col, vec_col, n_planes)
+    (1 + probe_flips).
+
+    ``kernel``: 'fold' (default) scores pairs with the engine-exact
+    zip_with fold — oracle-replayable, but interpreted per element;
+    'blas' shuffles vectors by bucket and matmuls each bucket block in
+    ``applyInPandas`` (_topk_within_blas) — the production choice at
+    real embedding widths (measured ~50× at D=768)."""
+    if kernel == "blas":
+        within = _topk_within_blas
+        bkt = lsh_buckets_blas(emb, id_col, vec_col, n_planes)
+        bkt = _track(bkt.persist(StorageLevel.MEMORY_AND_DISK), bkt)
+    else:
+        within = _topk_within
+        bkt = lsh_buckets(emb, id_col, vec_col, n_planes)
     if probe_flips <= 0:
-        return _topk_within(emb, bkt, id_col, vec_col, k, bucket_cap, nd)
+        return within(emb, bkt, id_col, vec_col, k, bucket_cap, nd)
     probes = F.array(
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << j))
           for j in range(min(probe_flips, n_planes))])
     qbkt = bkt.select(id_col, F.explode(probes).alias("bucket"))
-    return _topk_within(emb, bkt, id_col, vec_col, k, bucket_cap, nd,
-                        query_bkt=_track(qbkt, bkt))
+    return within(emb, bkt, id_col, vec_col, k, bucket_cap, nd,
+                  query_bkt=_track(qbkt, bkt))
 
 
 def ivf_centroids(emb: DataFrame, id_col: str = "vec_id",
@@ -297,15 +310,34 @@ def ivf_topk(emb: DataFrame, id_col: str = "vec_id",
              vec_col: str = "embedding", k: int = 1, n_cells: int = 16,
              bucket_cap: int | None = DEFAULT_BUCKET_CAP,
              nd: int = 4, trained: bool = False,
-             probes: int = 1) -> DataFrame:
+             probes: int = 1, kernel: str = "fold") -> DataFrame:
     """IVF search: assign → co-partition by cell → exact cosine rank
     within the cell. Same scale shape as bucketed_topk with
     data-adaptive cells instead of fixed hyperplanes. ``trained=True``
     uses Lloyd-refined centroids (non-oracled path); ``probes > 1``
     makes each QUERY search its p nearest cells (recall dial — cost
-    grows ~linearly in probes, candidates stay single-cell/capped)."""
+    grows ~linearly in probes, candidates stay single-cell/capped).
+
+    ``kernel='blas'`` switches BOTH stages to the Arrow/numpy kernels:
+    centroid assignment via broadcast C×D matmul (_assign_ranked_blas —
+    the N×C pair frame never exists) and within-cell ranking via the
+    bucket-block matmul (_topk_within_blas). The production choice at
+    real embedding widths; the fold default stays oracle-replayable."""
     cents = (ivf_centroids_kmeans if trained else ivf_centroids)(
         emb, id_col, vec_col, n_cells)
+    if kernel == "blas":
+        ranked = _assign_ranked_blas(emb, cents, id_col, vec_col, probes)
+        if probes > 1:
+            ranked = _track(ranked.persist(StorageLevel.MEMORY_AND_DISK),
+                            ranked)
+        cells = ranked.filter(F.col("_pr") == 1).select(id_col, "bucket")
+        if probes <= 1:
+            return _topk_within_blas(emb, _track(cells, ranked), id_col,
+                                     vec_col, k, bucket_cap, nd)
+        qcells = ranked.select(id_col, "bucket")
+        return _topk_within_blas(emb, cells, id_col, vec_col, k,
+                                 bucket_cap, nd,
+                                 query_bkt=_track(qcells, ranked))
     if trained:
         # a trained centroid plan is 2 full Lloyd rounds — materialize
         # it once before the assign consumes it; C rows
@@ -361,6 +393,180 @@ def _topk_within(emb: DataFrame, bkt: DataFrame, id_col: str, vec_col: str,
     # so the persisted chain (ranked/centroids) arrives via query_bkt —
     # dropping it broke the release-on-outermost-result contract (ADVICE r3)
     return _track(out, vecs, bkt, query_bkt)
+
+
+def lsh_buckets_blas(emb: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     n_planes: int = DEFAULT_PLANES) -> DataFrame:
+    """(id, bucket): the same hyperplane-sign LSH as ``lsh_buckets`` —
+    identical pseudo-plane weights w(i, j) = ((i·(7j+3)) mod 11) − 5 —
+    but the projections are ONE float64 matmul per Arrow batch
+    (mapInPandas) instead of n_planes interpreted zip_with folds per
+    row. Spark HOF lambdas are CodegenFallback (interpreted per
+    element): the fold assignment measured ~17 s for 20k×64 on 32
+    cores; this is milliseconds of BLAS. Still zero shuffle — a pure
+    map over the scan. Sign decisions can differ from the fold in the
+    measure-zero case of a projection within one ulp of 0 (summation
+    order), so this is the blas-kernel companion, not the oracled
+    path."""
+    import numpy as np
+
+    src = _valid(emb, vec_col).select(id_col, vec_col)
+    id_dt = emb.schema[id_col].dataType.simpleString()
+    n_pl = n_planes
+
+    def body(it):
+        import numpy as np
+        import pandas as pd
+        W = None
+        for pdf in it:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64,
+                                                         copy=False)
+            if W is None or W.shape[1] != V.shape[1]:
+                i = np.arange(V.shape[1])[None, :]
+                j = np.arange(n_pl)[:, None]
+                W = ((i * (7 * j + 3)) % 11 - 5).astype(np.float64)
+            proj = V @ W.T
+            bucket = ((proj > 0).astype(np.int64)
+                      << np.arange(n_pl, dtype=np.int64)[None, :]).sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                "bucket": bucket})
+
+    return src.mapInPandas(body, f"{id_col} {id_dt}, bucket bigint")
+
+
+def _topk_within_blas(emb: DataFrame, bkt: DataFrame, id_col: str,
+                      vec_col: str, k: int, bucket_cap: int | None, nd: int,
+                      query_bkt: DataFrame | None = None) -> DataFrame:
+    """BLAS bucket kernel (r4): the scale variant of ``_topk_within`` for
+    real embedding widths. The fold kernel is engine-exact and
+    oracle-replayable, but its per-pair cost is interpreted-expression
+    compute — measured ~31-37 µs/pair at D=768 (201 s for 100k×768).
+    Here the pair frame never exists: VECTORS shuffle by bucket (N rows,
+    each carrying one array) and each bucket's Q×C cosine block is one
+    float64 matmul inside ``applyInPandas`` — the canonical
+    Spark-plus-Arrow shape for a kernel Catalyst can't express
+    efficiently. Rounding is sign-aware HALF_UP to match ``F.round``;
+    ranking ties break by ascending neighbor id exactly like the fold
+    path (candidates pre-sorted by id + stable argsort). Same contracts:
+    candidate side capped deterministically, queries never dropped,
+    multi-probe pairs deduped before the final rank. Not
+    oracle-registered: BLAS summation order differs from the
+    left-to-right fold in the last ulps, so outputs are equal after
+    rounding in practice (pinned by tests) but not bit-derivable in SQL.
+    A degenerate bucket concentrates its queries in one task (the fold
+    path has the same skew); the cap bounds the candidate axis."""
+    import numpy as np  # noqa: F401 — verified importable before shipping closure
+    import pandas as pd  # noqa: F401
+
+    vecs = _valid(emb, vec_col).select(F.col(id_col).alias("_vid"),
+                                       F.col(vec_col).alias("_vec"))
+    cand = _cap(bkt, id_col, bucket_cap)
+    q = query_bkt if query_bkt is not None else bkt
+    qq = q.select("bucket", F.col(id_col).alias("_vid"),
+                  F.lit(True).alias("_isq"))
+    cc = cand.select("bucket", F.col(id_col).alias("_vid"),
+                     F.lit(True).alias("_isc"))
+    roles = (qq.join(cc, ["bucket", "_vid"], "full_outer")
+             .select("bucket", "_vid",
+                     F.coalesce("_isq", F.lit(False)).alias("_isq"),
+                     F.coalesce("_isc", F.lit(False)).alias("_isc")))
+    rows = roles.join(vecs, "_vid")
+    id_dt = emb.schema[id_col].dataType.simpleString()
+    out_schema = f"q_id {id_dt}, neighbor_id {id_dt}, cosine double"
+    kk, f = k, 10.0 ** nd
+
+    def body(pdf):
+        import numpy as np
+        import pandas as pd
+        qs = pdf[pdf["_isq"]]
+        cs = pdf[pdf["_isc"]].sort_values("_vid", kind="mergesort")
+        if qs.empty or cs.empty:
+            return pd.DataFrame({"q_id": qs["_vid"][:0],
+                                 "neighbor_id": qs["_vid"][:0],
+                                 "cosine": pd.Series([], dtype="float64")})
+        Q = np.stack(qs["_vec"].to_numpy()).astype(np.float64, copy=False)
+        C = np.stack(cs["_vec"].to_numpy()).astype(np.float64, copy=False)
+        # norms in-body (float64) — the fold path's _vecs norm is an
+        # N×D interpreted fold; ulp-level summation-order differences
+        # vanish under the HALF_UP rounding below (pinned by tests)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            # zero-norm vectors yield NaN cosines (the fold path's
+            # null-division analogue); dropped by the isfinite keep below
+            sims = (Q @ C.T) / np.outer(np.sqrt((Q * Q).sum(axis=1)),
+                                        np.sqrt((C * C).sum(axis=1)))
+        sims = np.where(np.isnan(sims), -np.inf, sims)
+        # Spark F.round is HALF_UP (away from zero); np.round is half-even
+        sims = np.sign(sims) * np.floor(np.abs(sims) * f + 0.5) / f
+        qid, cid = qs["_vid"].to_numpy(), cs["_vid"].to_numpy()
+        sims[qid[:, None] == cid[None, :]] = -np.inf
+        kq = min(kk, sims.shape[1])
+        # stable argsort on -cos: equal cosines keep candidate-id order
+        # (cs sorted ascending) — the fold path's exact tiebreak
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :kq]
+        take_s = np.take_along_axis(sims, order, axis=1).ravel()
+        keep = np.isfinite(take_s)
+        return pd.DataFrame({"q_id": np.repeat(qid, kq)[keep],
+                             "neighbor_id": cid[order].ravel()[keep],
+                             "cosine": take_s[keep]})
+
+    out = rows.groupBy("bucket").applyInPandas(body, out_schema)
+    if query_bkt is not None:
+        # top-k of the union == top-k over per-bucket top-ks; dedupe
+        # first (a candidate reachable via two probes scores identically)
+        w = Window.partitionBy("q_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+        out = (out.dropDuplicates(["q_id", "neighbor_id"])
+               .withColumn("_rk", F.row_number().over(w))
+               .filter(F.col("_rk") <= k).drop("_rk"))
+    return _track(out, vecs, bkt, query_bkt)
+
+
+def _assign_ranked_blas(emb: DataFrame, centroids: DataFrame, id_col: str,
+                        vec_col: str, probes: int) -> DataFrame:
+    """BLAS centroid assignment: the C×D centroid matrix is tiny by
+    contract, so it is collected once and closed over a ``mapInPandas``
+    body — squared distances per Arrow batch via one matmul. No N×C pair
+    rows exist anywhere (the fold path materializes them as a broadcast
+    crossJoin). Ties break to the smaller cell_id (columns pre-sorted +
+    stable argsort), mirroring ``_assign_ranked``'s (dist, cell_id)
+    ordering. Distances use the expanded ||v||²-2v·c+||c||² form — not
+    bit-identical to the fold's sequential sum, hence blas-kernel-only."""
+    import numpy as np
+
+    rows = centroids.collect()
+    order = sorted(range(len(rows)), key=lambda i: rows[i]["cell_id"])
+    Cm = np.stack([np.asarray(rows[i]["cvec"], dtype=np.float64)
+                   for i in order])
+    cids = np.asarray([rows[i]["cell_id"] for i in order])
+    cn2 = (Cm * Cm).sum(axis=1)
+    id_dt = emb.schema[id_col].dataType.simpleString()
+    cell_dt = centroids.schema["cell_id"].dataType.simpleString()
+    schema = f"{id_col} {id_dt}, bucket {cell_dt}, _pr int"
+    src = _valid(emb, vec_col).select(id_col, vec_col)
+    p = max(1, min(probes, len(rows)))
+
+    def body(it):
+        import numpy as np
+        import pandas as pd
+        for pdf in it:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64,
+                                                         copy=False)
+            d2 = ((V * V).sum(axis=1)[:, None] - 2.0 * (V @ Cm.T)
+                  + cn2[None, :])
+            pr = np.argsort(d2, axis=1, kind="stable")[:, :p]
+            n = len(pdf)
+            yield pd.DataFrame({
+                id_col: np.repeat(pdf[id_col].to_numpy(), p),
+                "bucket": cids[pr].ravel(),
+                "_pr": np.tile(np.arange(1, p + 1, dtype=np.int32), n),
+            })
+
+    return src.mapInPandas(body, schema)
 
 
 def cosine_topk(emb: DataFrame, query_ids: list | None, k: int = 5,
