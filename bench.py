@@ -290,7 +290,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
-    extract = run_extract_bench(spark, args.docs)
+    # --extract-only is the scaling-bench probe (scripts/scaling_bench):
+    # fixed path only — the cascade variants belong to the full bench
+    extract = run_extract_bench(spark, args.docs, cascade=not args.extract_only)
     if args.extract_only:
         print(json.dumps({"cpus": args.cpus, **extract}))
         spark.stop()
