@@ -2247,6 +2247,25 @@ def _ann_ivf_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("ann_ivf_topk_blas", _ann_ivf_topk_blas, _ANN_IVF_SQL)
 
 
+def _embedding_near_dup_bucketed_blas(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """[dedup blas kernel] ann.bucketed_near_dups(kernel='blas') —
+    per-bucket upper-triangle matmul; same rows as
+    embedding_near_dup_bucketed by contract."""
+    _prep(spark)
+    from webextract import ann
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.bucketed_near_dups(emb, threshold=0.4,
+                                  bucket_cap=_ANN_BUCKET_CAP,
+                                  kernel="blas")
+
+
+# shares the fold query's generated SQL — the kernels are row-identical
+# by contract (tests/test_libs.py::test_blas_kernels_match_fold)
+_register("embedding_near_dup_bucketed_blas",
+          _embedding_near_dup_bucketed_blas, _near_dup_bucketed_sql())
+
+
 # ============================================== production-preset evidence
 # Round-2 verdict #2: the dedup machinery is parameterized but only demo
 # presets (4 hashes, 16-bit simhash) were ever oracled; 64-bit shifts and
@@ -2591,6 +2610,7 @@ _PRIORITY = [
     # new/changed this round — never driver-verified in this form
     "extract_flagship", "extract_pdf_pages", "ann_recall_at_k",
     "ann_lsh_topk_blas", "ann_ivf_topk_blas",
+    "embedding_near_dup_bucketed_blas",
     # longest-unverified next (judge-green r3, driver-green r1 only)
     "dedup_clusters_bounded", "lsh_jaccard_verified", "simhash_doc_hashes",
     "embedding_norms", "cosine_topk_bruteforce", "ann_lsh_buckets",

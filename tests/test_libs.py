@@ -615,6 +615,10 @@ def test_blas_kernels_match_fold(clustered_emb):
                                   kernel=kern),
         lambda kern: ann.ivf_topk(clustered_emb, k=3, n_cells=5, probes=2,
                                   kernel=kern),
+        lambda kern: ann.bucketed_near_dups(clustered_emb, threshold=0.5,
+                                            kernel=kern),
+        lambda kern: ann.deduplicate_embeddings(clustered_emb,
+                                                threshold=0.9, kernel=kern),
     ]
     for i, mk in enumerate(variants):
         try:

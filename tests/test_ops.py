@@ -57,6 +57,7 @@ def test_every_query_has_callable_and_aliased_oracle():
     qs, oracles = entry.queries(), entry.oracle_sql()
     assert len(qs) >= 40
     assert set(oracles) <= set(qs)
-    # every oracle-less query is one of the documented non-SQL ops
+    # round 4: the last two rows-only gates gained golden-parquet
+    # oracles — every registered query now has a DuckDB oracle
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"extract_flagship", "extract_pdf_pages"}
+    assert rows_only == set()

@@ -603,12 +603,21 @@ def bucketed_near_dups(emb: DataFrame, threshold: float,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        n_planes: int = DEFAULT_PLANES,
                        bucket_cap: int | None = DEFAULT_BUCKET_CAP,
-                       nd: int = 4) -> DataFrame:
+                       nd: int = 4, kernel: str = "fold") -> DataFrame:
     """Near-duplicate pairs ABOVE a cosine threshold, searched only
     within LSH buckets — the scale path near_dup_pairs approximates
     exactly at O(N²): here candidates are bucket-local (high-cosine
     pairs land in the same sign-bucket with high probability; more
-    planes / multi-probe trade recall for cost)."""
+    planes / multi-probe trade recall for cost).
+
+    ``kernel='blas'`` scores each bucket's upper-triangle cosine block
+    as one Arrow-batched matmul (_near_dups_blas) — same pairs as the
+    fold after shared rounding (thresholding happens on the unrounded
+    float64 value in both kernels), the production choice at real
+    embedding widths."""
+    if kernel == "blas":
+        return _near_dups_blas(emb, threshold, id_col, vec_col,
+                               n_planes, bucket_cap, nd)
     bkt = lsh_buckets(emb, id_col, vec_col, n_planes)
     cand = _cap(bkt, id_col, bucket_cap)
     a, b = cand.alias("a"), cand.alias("b")
@@ -626,22 +635,71 @@ def bucketed_near_dups(emb: DataFrame, threshold: float,
     return _track(out, vecs, bkt)
 
 
+def _near_dups_blas(emb: DataFrame, threshold: float, id_col: str,
+                    vec_col: str, n_planes: int,
+                    bucket_cap: int | None, nd: int) -> DataFrame:
+    """BLAS twin of the fold ``bucketed_near_dups`` body: capped bucket
+    members shuffle once (one row per VECTOR, not per pair), each
+    bucket's id-sorted upper-triangle cosine block is a single float64
+    matmul, thresholded on the unrounded value exactly like the fold's
+    ``_ratio`` filter, emitted with the shared sign-aware HALF_UP
+    rounding. A vector lives in exactly one bucket (single-probe LSH)
+    so no cross-bucket pair dedupe is needed. Parity with the fold is
+    pinned by tests/test_libs.py; not oracle-registered standalone —
+    the driver twin reuses the fold query's SQL."""
+    import numpy as np  # noqa: F401 — verified importable before shipping closure
+
+    bkt = lsh_buckets_blas(emb, id_col, vec_col, n_planes)
+    cand = _cap(bkt, id_col, bucket_cap)
+    vecs = _valid(emb, vec_col).select(F.col(id_col).alias("_vid"),
+                                       F.col(vec_col).alias("_vec"))
+    rows = cand.select("bucket", F.col(id_col).alias("_vid")).join(vecs,
+                                                                   "_vid")
+    id_dt = emb.schema[id_col].dataType.simpleString()
+    out_schema = f"vec_a {id_dt}, vec_b {id_dt}, cosine double"
+    thr, f = float(threshold), 10.0 ** nd
+
+    def body(pdf):
+        import numpy as np
+        import pandas as pd
+        pdf = pdf.sort_values("_vid", kind="mergesort")
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": pdf["_vid"][:0],
+                                 "vec_b": pdf["_vid"][:0],
+                                 "cosine": pd.Series([], dtype="float64")})
+        V = np.stack(pdf["_vec"].to_numpy()).astype(np.float64, copy=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            n = np.sqrt((V * V).sum(axis=1))
+            sims = (V @ V.T) / np.outer(n, n)
+        iu = np.triu_indices(len(pdf), k=1)
+        s = sims[iu]
+        keep = np.isfinite(s) & (s >= thr)
+        ids = pdf["_vid"].to_numpy()
+        cs = np.sign(s[keep]) * np.floor(np.abs(s[keep]) * f + 0.5) / f
+        return pd.DataFrame({"vec_a": ids[iu[0][keep]],
+                             "vec_b": ids[iu[1][keep]], "cosine": cs})
+
+    out = rows.groupBy("bucket").applyInPandas(body, out_schema)
+    return _track(out, vecs, bkt)
+
+
 def deduplicate_embeddings(emb: DataFrame, threshold: float,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",
                            n_planes: int = DEFAULT_PLANES,
                            bucket_cap: int | None = DEFAULT_BUCKET_CAP,
-                           nd: int = 4) -> DataFrame:
+                           nd: int = 4, kernel: str = "fold") -> DataFrame:
     """End-to-end embedding-cosine near-duplicate REMOVAL — the vector
     twin of dedup.deduplicate_fuzzy: LSH-bucketed candidate pairs above
     ``threshold`` (bucketed_near_dups, never all-pairs) → connected
     components (dedup.cluster_pairs fixpoint) → keep each component's
     minimum id. Rows with invalid embeddings are KEPT (they can't be
-    near-duplicates of anything)."""
+    near-duplicates of anything). ``kernel='blas'`` uses the matmul
+    pair scorer for the candidate stage."""
     from .dedup import cluster_pairs
 
     pairs = bucketed_near_dups(emb, threshold, id_col, vec_col,
-                               n_planes, bucket_cap, nd)
+                               n_planes, bucket_cap, nd, kernel=kernel)
     labels = cluster_pairs(pairs.select("vec_a", "vec_b"),
                            "vec_a", "vec_b")
     drop = labels.filter(F.col("node") != F.col("cluster_id")) \
