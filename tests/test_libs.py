@@ -627,6 +627,34 @@ def test_blas_kernels_match_fold(clustered_emb):
             cache.release_all()
 
 
+def test_blas_query_salting_invariant(spark):
+    # mega-bucket skew guard: the blas kernel groups by (bucket, salt)
+    # with the capped candidate set replicated per salt — results must
+    # be IDENTICAL at any salt count (each query meets each candidate
+    # exactly once), including with the cap engaged and self-pairs
+    # excluded across the replicated copies
+    from webextract import cache
+
+    rows = ([(i, [c * (0.5 + 0.01 * i) for c in (1.0, 2.0, 3.0, 4.0)])
+             for i in range(30)] +
+            [(i, [c * (0.5 + 0.01 * i) for c in (4.0, 3.0, 2.0, 1.0)])
+             for i in range(30, 60)])
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    bkt = ann.lsh_buckets_blas(emb)
+
+    def run(s):
+        out = ann._topk_within_blas(emb, bkt, "vec_id", "embedding",
+                                    3, 10, 4, n_salts=s)
+        try:
+            return sorted(tuple(r) for r in out.collect())
+        finally:
+            cache.release_all()
+
+    one = run(1)
+    assert one, "fixture must produce neighbors"
+    assert one == run(8) == run(64)
+
+
 def test_blas_kernel_drops_invalid_and_releases(spark):
     # the blas path must share the fold path's validity contract (null /
     # empty vectors vanish) and its cache-release contract (release on

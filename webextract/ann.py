@@ -437,9 +437,13 @@ def lsh_buckets_blas(emb: DataFrame, id_col: str = "vec_id",
     return src.mapInPandas(body, f"{id_col} {id_dt}, bucket bigint")
 
 
+DEFAULT_QUERY_SALTS = 8
+
+
 def _topk_within_blas(emb: DataFrame, bkt: DataFrame, id_col: str,
                       vec_col: str, k: int, bucket_cap: int | None, nd: int,
-                      query_bkt: DataFrame | None = None) -> DataFrame:
+                      query_bkt: DataFrame | None = None,
+                      n_salts: int = DEFAULT_QUERY_SALTS) -> DataFrame:
     """BLAS bucket kernel (r4): the scale variant of ``_topk_within`` for
     real embedding widths. The fold kernel is engine-exact and
     oracle-replayable, but its per-pair cost is interpreted-expression
@@ -456,8 +460,15 @@ def _topk_within_blas(emb: DataFrame, bkt: DataFrame, id_col: str,
     oracle-registered: BLAS summation order differs from the
     left-to-right fold in the last ulps, so outputs are equal after
     rounding in practice (pinned by tests) but not bit-derivable in SQL.
-    A degenerate bucket concentrates its queries in one task (the fold
-    path has the same skew); the cap bounds the candidate axis."""
+
+    Degenerate-bucket skew: applyInPandas groups cannot be split by AQE,
+    so a mega-bucket would otherwise concentrate ALL its queries in one
+    task. The group key is therefore (bucket, salt): queries hash into
+    ``n_salts`` salts and the CAPPED candidate set (≤ bucket_cap rows)
+    is replicated to every salt — per-query results are unchanged (each
+    query still meets each candidate exactly once; pinned by the
+    fold-parity test) while the largest task shrinks ~n_salts×. The
+    replication cost is bounded by cap·n_salts rows per bucket."""
     import numpy as np  # noqa: F401 — verified importable before shipping closure
     import pandas as pd  # noqa: F401
 
@@ -465,15 +476,16 @@ def _topk_within_blas(emb: DataFrame, bkt: DataFrame, id_col: str,
                                        F.col(vec_col).alias("_vec"))
     cand = _cap(bkt, id_col, bucket_cap)
     q = query_bkt if query_bkt is not None else bkt
-    qq = q.select("bucket", F.col(id_col).alias("_vid"),
-                  F.lit(True).alias("_isq"))
-    cc = cand.select("bucket", F.col(id_col).alias("_vid"),
-                     F.lit(True).alias("_isc"))
-    roles = (qq.join(cc, ["bucket", "_vid"], "full_outer")
-             .select("bucket", "_vid",
-                     F.coalesce("_isq", F.lit(False)).alias("_isq"),
-                     F.coalesce("_isc", F.lit(False)).alias("_isc")))
-    rows = roles.join(vecs, "_vid")
+    s = max(1, n_salts)
+    qq = (q.select("bucket", F.col(id_col).alias("_vid"))
+          .withColumn("_salt", F.pmod(F.hash("_vid"), F.lit(s)))
+          .withColumn("_isq", F.lit(True))
+          .withColumn("_isc", F.lit(False)))
+    cc = (cand.select("bucket", F.col(id_col).alias("_vid"))
+          .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(s - 1))))
+          .withColumn("_isq", F.lit(False))
+          .withColumn("_isc", F.lit(True)))
+    rows = qq.unionByName(cc).join(vecs, "_vid")
     id_dt = emb.schema[id_col].dataType.simpleString()
     out_schema = f"q_id {id_dt}, neighbor_id {id_dt}, cosine double"
     kk, f = k, 10.0 ** nd
@@ -512,7 +524,7 @@ def _topk_within_blas(emb: DataFrame, bkt: DataFrame, id_col: str,
                              "neighbor_id": cid[order].ravel()[keep],
                              "cosine": take_s[keep]})
 
-    out = rows.groupBy("bucket").applyInPandas(body, out_schema)
+    out = rows.groupBy("bucket", "_salt").applyInPandas(body, out_schema)
     if query_bkt is not None:
         # top-k of the union == top-k over per-bucket top-ks; dedupe
         # first (a candidate reachable via two probes scores identically)
