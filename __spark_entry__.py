@@ -591,6 +591,30 @@ def _extract_cascade_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("extract_cascade_oracled", _extract_cascade_oracled,
           _FLAGSHIP_ORACLE_SQL)
 
+
+def _extract_cascade_in_batch_oracled(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """[M12, in-batch plan] pipeline.run_extract_cascade_in_batch — the
+    r4 plan running the gate/escalation per document inside the single
+    fused map (zero shuffle, no pass-1 cache, no second scan). Output is
+    row-identical to the two-pass cascade by construction, so it shares
+    the flagship oracle exactly like extract_cascade_oracled."""
+    _prep(spark)
+    from webextract import pipeline
+    pipeline.ship_package(spark)
+    ext = pipeline.run_extract_cascade_in_batch(
+        _pages_from_documents(spark, sf_dir), accept=0.7, n_buckets=16,
+        cheap_fields=False)
+    return ext.select(
+        "url", "doc_type", "status", "text", "n_pages", "error",
+        F.round("confidence", 4).alias("confidence"),
+        F.size("spans").alias("n_spans"),
+    )
+
+
+_register("extract_cascade_in_batch_oracled",
+          _extract_cascade_in_batch_oracled, _FLAGSHIP_ORACLE_SQL)
+
 _register("extract_field_values", _extract_field_values, f"""
 {_EXTRACT_PRELUDE}
 SELECT url, field_name, field_type, is_required, value,
@@ -1830,10 +1854,16 @@ _register("simhash_near_dup_pairs", _simhash_near_dup_pairs,
 # Spark in-row fold returns NULL / 0.0 respectively). Pinned by
 # tests/test_libs.py::test_ann_oracles_agree_on_invalid_rows, which runs
 # these very oracles against a fixture that DOES contain invalid rows.
+# validity mirrors webextract.ann._valid: non-empty, no NULL element,
+# and at least one non-zero element (zero-norm vectors have no cosine —
+# the fold kernel would DIVIDE_BY_ZERO under ANSI on any pair touching
+# one, so every kernel and every oracle excludes them identically)
 _EMB_VALID_DUCK = ("embedding IS NOT NULL AND len(embedding) > 0 "
-                   "AND len(list_filter(embedding, x -> x IS NULL)) = 0")
+                   "AND len(list_filter(embedding, x -> x IS NULL)) = 0 "
+                   "AND len(list_filter(embedding, x -> x <> 0)) > 0")
 _EMB_VALID_SPARK = ("embedding IS NOT NULL AND size(embedding) > 0 "
-                    "AND NOT exists(embedding, x -> x IS NULL)")
+                    "AND NOT exists(embedding, x -> x IS NULL) "
+                    "AND exists(embedding, x -> x <> 0)")
 
 
 _sqlq("embedding_norms", ["embeddings"], f"""
@@ -2610,7 +2640,7 @@ _PRIORITY = [
     # new/changed this round — never driver-verified in this form
     "extract_flagship", "extract_pdf_pages", "ann_recall_at_k",
     "ann_lsh_topk_blas", "ann_ivf_topk_blas",
-    "embedding_near_dup_bucketed_blas",
+    "embedding_near_dup_bucketed_blas", "extract_cascade_in_batch_oracled",
     # longest-unverified next (judge-green r3, driver-green r1 only)
     "dedup_clusters_bounded", "lsh_jaccard_verified", "simhash_doc_hashes",
     "embedding_norms", "cosine_topk_bruteforce", "ann_lsh_buckets",

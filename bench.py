@@ -95,19 +95,26 @@ def run_extract_bench(spark, n_docs: int, cascade: bool = True) -> dict:
     if not cascade:
         return out
     # adaptive-cost variant (M12): cheap pass + ensemble retries only
-    # below the gate. Two presets: the r3 cascade (strict profile, full
-    # fields arms) and the r4 cheap_fields one (strict profile +
-    # patterns-only fields), which skips the sentence/entity/proximity
-    # scans in pass 1 and should land AT OR UNDER the fixed-ensemble
-    # wall on this pattern-rich corpus (r3 verdict #5).
+    # below the gate. Three presets: the r3 two-pass cascade (strict
+    # profile, full fields arms), the two-pass cheap_fields one (strict
+    # + patterns-only pass 1 — honest gate: every REQUIRED field must
+    # pattern-hit to accept), and the r4 IN-BATCH plan (same decision
+    # rule per document, escalation inside the fused map — no pass-1
+    # cache, no second scan, no joins). The in-batch row is the one
+    # expected to land AT OR UNDER the fixed-ensemble wall (verdict #5).
     from webextract import cache
-    for key, kwargs in [("cascade_wall_sec", {}),
-                        ("cascade_cheap_wall_sec", {"cheap_fields": True})]:
+    for key, fn in [
+        ("cascade_wall_sec",
+         lambda: pipeline.run_extract_cascade(pages)),
+        ("cascade_cheap_wall_sec",
+         lambda: pipeline.run_extract_cascade(pages, cheap_fields=True)),
+        ("cascade_in_batch_wall_sec",
+         lambda: pipeline.run_extract_cascade_in_batch(pages)),
+    ]:
         best = float("inf")
         for _ in range(max(1, repeats)):
             t0 = time.monotonic()
-            casc = pipeline.run_extract_cascade(pages, **kwargs)
-            casc.write.format("noop").mode("overwrite").save()
+            fn().write.format("noop").mode("overwrite").save()
             best = min(best, time.monotonic() - t0)
             cache.release_all()
         out[key] = round(best, 3)

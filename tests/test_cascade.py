@@ -88,6 +88,20 @@ def test_cascade_cheap_fields_gate_semantics(spark, pages_parquet):
     assert n_accepted > 0 and n_retried >= 3
 
 
+def test_cascade_in_batch_equals_two_pass(spark, pages_parquet):
+    # the r4 in-batch plan (per-document escalation inside the fused
+    # map) must emit EXACTLY the two-pass plan's rows — same gate, same
+    # strictly-better pick — at both cheap_fields settings
+    pages = (spark.read.parquet(pages_parquet).limit(100)
+             .unionByName(_short_block_pages(spark)))
+    for cf in (False, True):
+        two = _rows(pipeline.run_extract_cascade(pages, accept=0.7,
+                                                 cheap_fields=cf))
+        one = _rows(pipeline.run_extract_cascade_in_batch(
+            pages, accept=0.7, cheap_fields=cf))
+        assert one == two, f"cheap_fields={cf}"
+
+
 def test_cascade_accept_zero_equals_cheap_pass(spark, pages_parquet):
     pages = spark.read.parquet(pages_parquet).limit(80)
     strict = _rows(pipeline.run_extract(pages, profiles=("strict",)))

@@ -571,7 +571,8 @@ def test_ann_oracles_agree_on_invalid_rows(spark, tmp_path):
                          for d in range(8)], i % 3))
     rows += [(90, [], 0),                                   # empty
              (91, None, 1),                                 # null array
-             (92, [1.0, None, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0], 2)]  # null elem
+             (92, [1.0, None, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0], 2),  # null elem
+             (93, [0.0] * 8, 0)]                            # zero-norm (r4)
     emb = spark.createDataFrame(
         rows, "vec_id bigint, embedding array<float>, label int")
     sf_dir = str(tmp_path)
@@ -593,7 +594,7 @@ def test_ann_oracles_agree_on_invalid_rows(spark, tmp_path):
         # and the invalid ids really are excluded everywhere
         for col in ("vec_id", "q_id", "neighbor_id", "vec_a", "vec_b"):
             if col in sdf.columns:
-                assert not set(sdf[col]) & {90, 91, 92}, (name, col)
+                assert not set(sdf[col]) & {90, 91, 92, 93}, (name, col)
 
 
 def test_blas_kernels_match_fold(clustered_emb):
@@ -625,6 +626,37 @@ def test_blas_kernels_match_fold(clustered_emb):
             assert canon(mk("fold")) == canon(mk("blas")), f"variant {i}"
         finally:
             cache.release_all()
+
+
+def test_blas_kernels_total_on_mixed_width_and_empty(spark):
+    # ragged-width corpora (embedder drift, truncated writes) must not
+    # kill blas tasks: np.stack is per-width-group (r4 review); deviant
+    # widths never pair cross-width, and a corpus with zero valid
+    # vectors returns empty instead of crashing the driver
+    from webextract import cache
+
+    rows = ([(i, [float(i + j + 1) for j in range(8)]) for i in range(20)]
+            + [(99, [1.0, 2.0]), (98, [3.0, 4.0])])
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    topk = ann.bucketed_topk(emb, k=2, kernel="blas").collect()
+    nd = ann.bucketed_near_dups(emb, threshold=0.5, kernel="blas").collect()
+    ivf = ann.ivf_topk(emb, k=2, n_cells=3, probes=2,
+                       kernel="blas").collect()
+    cache.release_all()
+    assert topk and nd and ivf
+    wide = set(range(20))
+    for r in topk + ivf:
+        pair = {r["q_id"], r["neighbor_id"]}
+        assert pair <= wide or pair <= {98, 99}, r
+    for r in nd:
+        pair = {r["vec_a"], r["vec_b"]}
+        assert pair <= wide or pair <= {98, 99}, r
+
+    empty = spark.createDataFrame([(0, None), (1, [])],
+                                  "vec_id bigint, embedding array<float>")
+    assert ann.ivf_topk(empty, k=1, n_cells=2, kernel="blas").count() == 0
+    assert ann.bucketed_topk(empty, k=1, kernel="blas").count() == 0
+    cache.release_all()
 
 
 def test_blas_query_salting_invariant(spark):

@@ -57,15 +57,22 @@ DEFAULT_BUCKET_CAP = 64
 
 
 def _valid(emb: DataFrame, vec_col: str) -> DataFrame:
-    """Drop null/empty embeddings (size(null) = -1) AND vectors holding
-    a NULL element: failed-embed rows are routine at corpus scale, and
-    the in-row fold kernels would otherwise turn them into NULL
-    projections (→ all piled into bucket 0) and NULL norms/cosines —
-    the r2 explode-based kernels skipped them via posexplode/F.sum null
-    semantics, so this keeps that contract explicit."""
+    """Drop null/empty embeddings (size(null) = -1), vectors holding a
+    NULL element, AND all-zero vectors: failed-embed rows are routine at
+    corpus scale, and the in-row fold kernels would otherwise turn them
+    into NULL projections (→ all piled into bucket 0) and NULL
+    norms/cosines — the r2 explode-based kernels skipped them via
+    posexplode/F.sum null semantics, so this keeps that contract
+    explicit. Zero-norm vectors have no defined cosine: under Spark 4's
+    ANSI default the fold's dot/(na·nb) would THROW DIVIDE_BY_ZERO on
+    any pair touching one (r4 review finding), and the blas kernels
+    would silently NaN-drop them — excluding them here keeps every
+    kernel total and fold/blas row-identical. Mirrored in the driver
+    oracles' _EMB_VALID_DUCK/_EMB_VALID_SPARK."""
     return emb.filter(
         (F.size(F.col(vec_col)) > 0)
-        & ~F.exists(F.col(vec_col), lambda x: x.isNull()))
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+        & F.exists(F.col(vec_col), lambda x: x != 0))
 
 
 def _vecs(emb: DataFrame, id_col: str, vec_col: str,
@@ -326,10 +333,13 @@ def ivf_topk(emb: DataFrame, id_col: str = "vec_id",
     cents = (ivf_centroids_kmeans if trained else ivf_centroids)(
         emb, id_col, vec_col, n_cells)
     if kernel == "blas":
+        # persist the assignment in BOTH branches: _topk_within_blas
+        # consumes it from the candidate side AND the query side, and an
+        # unpersisted frame would re-run the full mapInPandas assignment
+        # (emb scan + Arrow transfer) once per consumer (r4 review)
         ranked = _assign_ranked_blas(emb, cents, id_col, vec_col, probes)
-        if probes > 1:
-            ranked = _track(ranked.persist(StorageLevel.MEMORY_AND_DISK),
-                            ranked)
+        ranked = _track(ranked.persist(StorageLevel.MEMORY_AND_DISK),
+                        ranked)
         cells = ranked.filter(F.col("_pr") == 1).select(id_col, "bucket")
         if probes <= 1:
             return _topk_within_blas(emb, _track(cells, ranked), id_col,
@@ -395,6 +405,24 @@ def _topk_within(emb: DataFrame, bkt: DataFrame, id_col: str, vec_col: str,
     return _track(out, vecs, bkt, query_bkt)
 
 
+def _stack_groups(series):
+    """Yield ``(positions, matrix)`` per distinct element length in a
+    pandas Series of array values. ``np.stack`` is only defined over
+    uniform lengths, so one deviant-width row (embedder version drift, a
+    truncated write) must not kill the whole task (r4 review) — each
+    width group is stacked and processed separately, and cross-width
+    pairs are never scored (cosine between different dimensionalities is
+    undefined; the fold kernel's zip_with null-pads them into NULL
+    cosines that never outrank a finite one)."""
+    import numpy as np
+
+    lens = series.map(len).to_numpy()
+    for length in np.unique(lens):
+        pos = np.nonzero(lens == length)[0]
+        yield pos, np.stack(series.iloc[pos].to_numpy()).astype(
+            np.float64, copy=False)
+
+
 def lsh_buckets_blas(emb: DataFrame, id_col: str = "vec_id",
                      vec_col: str = "embedding",
                      n_planes: int = DEFAULT_PLANES) -> DataFrame:
@@ -422,17 +450,17 @@ def lsh_buckets_blas(emb: DataFrame, id_col: str = "vec_id",
         for pdf in it:
             if pdf.empty:
                 continue
-            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64,
-                                                         copy=False)
-            if W is None or W.shape[1] != V.shape[1]:
-                i = np.arange(V.shape[1])[None, :]
-                j = np.arange(n_pl)[:, None]
-                W = ((i * (7 * j + 3)) % 11 - 5).astype(np.float64)
-            proj = V @ W.T
-            bucket = ((proj > 0).astype(np.int64)
-                      << np.arange(n_pl, dtype=np.int64)[None, :]).sum(axis=1)
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
-                                "bucket": bucket})
+            ids = pdf[id_col].to_numpy()
+            for pos, V in _stack_groups(pdf[vec_col]):
+                if W is None or W.shape[1] != V.shape[1]:
+                    i = np.arange(V.shape[1])[None, :]
+                    j = np.arange(n_pl)[:, None]
+                    W = ((i * (7 * j + 3)) % 11 - 5).astype(np.float64)
+                proj = V @ W.T
+                bucket = ((proj > 0).astype(np.int64)
+                          << np.arange(n_pl, dtype=np.int64)[None, :]
+                          ).sum(axis=1)
+                yield pd.DataFrame({id_col: ids[pos], "bucket": bucket})
 
     return src.mapInPandas(body, f"{id_col} {id_dt}, bucket bigint")
 
@@ -495,34 +523,45 @@ def _topk_within_blas(emb: DataFrame, bkt: DataFrame, id_col: str,
         import pandas as pd
         qs = pdf[pdf["_isq"]]
         cs = pdf[pdf["_isc"]].sort_values("_vid", kind="mergesort")
+        empty = pd.DataFrame({"q_id": qs["_vid"][:0],
+                              "neighbor_id": qs["_vid"][:0],
+                              "cosine": pd.Series([], dtype="float64")})
         if qs.empty or cs.empty:
-            return pd.DataFrame({"q_id": qs["_vid"][:0],
-                                 "neighbor_id": qs["_vid"][:0],
-                                 "cosine": pd.Series([], dtype="float64")})
-        Q = np.stack(qs["_vec"].to_numpy()).astype(np.float64, copy=False)
-        C = np.stack(cs["_vec"].to_numpy()).astype(np.float64, copy=False)
-        # norms in-body (float64) — the fold path's _vecs norm is an
-        # N×D interpreted fold; ulp-level summation-order differences
-        # vanish under the HALF_UP rounding below (pinned by tests)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            # zero-norm vectors yield NaN cosines (the fold path's
-            # null-division analogue); dropped by the isfinite keep below
-            sims = (Q @ C.T) / np.outer(np.sqrt((Q * Q).sum(axis=1)),
-                                        np.sqrt((C * C).sum(axis=1)))
-        sims = np.where(np.isnan(sims), -np.inf, sims)
-        # Spark F.round is HALF_UP (away from zero); np.round is half-even
-        sims = np.sign(sims) * np.floor(np.abs(sims) * f + 0.5) / f
-        qid, cid = qs["_vid"].to_numpy(), cs["_vid"].to_numpy()
-        sims[qid[:, None] == cid[None, :]] = -np.inf
-        kq = min(kk, sims.shape[1])
-        # stable argsort on -cos: equal cosines keep candidate-id order
-        # (cs sorted ascending) — the fold path's exact tiebreak
-        order = np.argsort(-sims, axis=1, kind="stable")[:, :kq]
-        take_s = np.take_along_axis(sims, order, axis=1).ravel()
-        keep = np.isfinite(take_s)
-        return pd.DataFrame({"q_id": np.repeat(qid, kq)[keep],
-                             "neighbor_id": cid[order].ravel()[keep],
-                             "cosine": take_s[keep]})
+            return empty
+        cgroups = {C.shape[1]: (pos, C)
+                   for pos, C in _stack_groups(cs["_vec"])}
+        outs = []
+        for qpos, Q in _stack_groups(qs["_vec"]):
+            if Q.shape[1] not in cgroups:
+                continue
+            cpos, C = cgroups[Q.shape[1]]
+            # norms in-body (float64) — the fold path's _vecs norm is an
+            # N×D interpreted fold; ulp-level summation-order
+            # differences vanish under the HALF_UP rounding below
+            # (pinned by tests). _valid excludes zero-norm vectors, so
+            # the division is total; errstate is belt-and-braces
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sims = (Q @ C.T) / np.outer(
+                    np.sqrt((Q * Q).sum(axis=1)),
+                    np.sqrt((C * C).sum(axis=1)))
+            sims = np.where(np.isnan(sims), -np.inf, sims)
+            # Spark F.round is HALF_UP (away from zero); np.round is
+            # half-even
+            sims = np.sign(sims) * np.floor(np.abs(sims) * f + 0.5) / f
+            qid = qs["_vid"].to_numpy()[qpos]
+            cid = cs["_vid"].to_numpy()[cpos]
+            sims[qid[:, None] == cid[None, :]] = -np.inf
+            kq = min(kk, sims.shape[1])
+            # stable argsort on -cos: equal cosines keep candidate-id
+            # order (cs sorted ascending) — the fold path's tiebreak
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :kq]
+            take_s = np.take_along_axis(sims, order, axis=1).ravel()
+            keep = np.isfinite(take_s)
+            outs.append(pd.DataFrame(
+                {"q_id": np.repeat(qid, kq)[keep],
+                 "neighbor_id": cid[order].ravel()[keep],
+                 "cosine": take_s[keep]}))
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
     out = rows.groupBy("bucket", "_salt").applyInPandas(body, out_schema)
     if query_bkt is not None:
@@ -549,7 +588,21 @@ def _assign_ranked_blas(emb: DataFrame, centroids: DataFrame, id_col: str,
     import numpy as np
 
     rows = centroids.collect()
+    id_dt0 = emb.schema[id_col].dataType.simpleString()
+    cell_dt0 = centroids.schema["cell_id"].dataType.simpleString()
+    if not rows:
+        # zero valid vectors → zero centroids; the fold path returns an
+        # empty frame here, so the blas path must too (np.stack would
+        # otherwise crash on the empty list — r4 review)
+        return emb.sparkSession.createDataFrame(
+            [], f"{id_col} {id_dt0}, bucket {cell_dt0}, _pr int")
     order = sorted(range(len(rows)), key=lambda i: rows[i]["cell_id"])
+    # a mixed-width corpus can sample deviant-width centroids; keep only
+    # those matching the first (smallest cell_id) centroid's width —
+    # np.stack is undefined over ragged rows, and a deviant centroid
+    # could never win an assignment for the dominant width anyway
+    width = len(rows[order[0]]["cvec"])
+    order = [i for i in order if len(rows[i]["cvec"]) == width]
     Cm = np.stack([np.asarray(rows[i]["cvec"], dtype=np.float64)
                    for i in order])
     cids = np.asarray([rows[i]["cell_id"] for i in order])
@@ -566,17 +619,22 @@ def _assign_ranked_blas(emb: DataFrame, centroids: DataFrame, id_col: str,
         for pdf in it:
             if pdf.empty:
                 continue
-            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64,
-                                                         copy=False)
-            d2 = ((V * V).sum(axis=1)[:, None] - 2.0 * (V @ Cm.T)
-                  + cn2[None, :])
-            pr = np.argsort(d2, axis=1, kind="stable")[:, :p]
-            n = len(pdf)
-            yield pd.DataFrame({
-                id_col: np.repeat(pdf[id_col].to_numpy(), p),
-                "bucket": cids[pr].ravel(),
-                "_pr": np.tile(np.arange(1, p + 1, dtype=np.int32), n),
-            })
+            ids = pdf[id_col].to_numpy()
+            for pos, V in _stack_groups(pdf[vec_col]):
+                if V.shape[1] != Cm.shape[1]:
+                    # a deviant-width row cannot be scored against the
+                    # centroids — dropped (the fold path's NULL-distance
+                    # rows likewise never produce a usable cell)
+                    continue
+                d2 = ((V * V).sum(axis=1)[:, None] - 2.0 * (V @ Cm.T)
+                      + cn2[None, :])
+                pr = np.argsort(d2, axis=1, kind="stable")[:, :p]
+                n = len(pos)
+                yield pd.DataFrame({
+                    id_col: np.repeat(ids[pos], p),
+                    "bucket": cids[pr].ravel(),
+                    "_pr": np.tile(np.arange(1, p + 1, dtype=np.int32), n),
+                })
 
     return src.mapInPandas(body, schema)
 
@@ -653,12 +711,17 @@ def _near_dups_blas(emb: DataFrame, threshold: float, id_col: str,
     """BLAS twin of the fold ``bucketed_near_dups`` body: capped bucket
     members shuffle once (one row per VECTOR, not per pair), each
     bucket's id-sorted upper-triangle cosine block is a single float64
-    matmul, thresholded on the unrounded value exactly like the fold's
+    matmul, thresholded on the unrounded value like the fold's
     ``_ratio`` filter, emitted with the shared sign-aware HALF_UP
     rounding. A vector lives in exactly one bucket (single-probe LSH)
-    so no cross-bucket pair dedupe is needed. Parity with the fold is
-    pinned by tests/test_libs.py; not oracle-registered standalone —
-    the driver twin reuses the fold query's SQL."""
+    so no cross-bucket pair dedupe is needed. Parity caveat (unlike the
+    rank kernels, where rounding sits between the float and the emitted
+    rows): the threshold compares the UNROUNDED blas sum, so a pair
+    whose true cosine lies within ~1 ulp of ``threshold`` could be
+    included/excluded differently from the fold — measure-zero on real
+    data, absent from the pinned fixtures, and inherent to any
+    reordered summation. Parity is pinned by tests/test_libs.py; the
+    driver twin reuses the fold query's SQL."""
     import numpy as np  # noqa: F401 — verified importable before shipping closure
 
     bkt = lsh_buckets_blas(emb, id_col, vec_col, n_planes)
@@ -675,21 +738,28 @@ def _near_dups_blas(emb: DataFrame, threshold: float, id_col: str,
         import numpy as np
         import pandas as pd
         pdf = pdf.sort_values("_vid", kind="mergesort")
+        empty = pd.DataFrame({"vec_a": pdf["_vid"][:0],
+                              "vec_b": pdf["_vid"][:0],
+                              "cosine": pd.Series([], dtype="float64")})
         if len(pdf) < 2:
-            return pd.DataFrame({"vec_a": pdf["_vid"][:0],
-                                 "vec_b": pdf["_vid"][:0],
-                                 "cosine": pd.Series([], dtype="float64")})
-        V = np.stack(pdf["_vec"].to_numpy()).astype(np.float64, copy=False)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            n = np.sqrt((V * V).sum(axis=1))
-            sims = (V @ V.T) / np.outer(n, n)
-        iu = np.triu_indices(len(pdf), k=1)
-        s = sims[iu]
-        keep = np.isfinite(s) & (s >= thr)
+            return empty
         ids = pdf["_vid"].to_numpy()
-        cs = np.sign(s[keep]) * np.floor(np.abs(s[keep]) * f + 0.5) / f
-        return pd.DataFrame({"vec_a": ids[iu[0][keep]],
-                             "vec_b": ids[iu[1][keep]], "cosine": cs})
+        outs = []
+        for pos, V in _stack_groups(pdf["_vec"]):
+            if len(pos) < 2:
+                continue
+            with np.errstate(invalid="ignore", divide="ignore"):
+                n = np.sqrt((V * V).sum(axis=1))
+                sims = (V @ V.T) / np.outer(n, n)
+            iu = np.triu_indices(len(pos), k=1)
+            s = sims[iu]
+            keep = np.isfinite(s) & (s >= thr)
+            gids = ids[pos]
+            cos = np.sign(s[keep]) * np.floor(np.abs(s[keep]) * f + 0.5) / f
+            outs.append(pd.DataFrame({"vec_a": gids[iu[0][keep]],
+                                      "vec_b": gids[iu[1][keep]],
+                                      "cosine": cos}))
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
     out = rows.groupBy("bucket").applyInPandas(body, out_schema)
     return _track(out, vecs, bkt)

@@ -224,33 +224,46 @@ class Catalog:
         parts. Round 3 probed parts one-by-one from the driver (2 jobs
         PER part — a checkpoint table with 10k appended parts would pay
         20k scheduler round-trips). The rewrite is re-evaluated inside
-        the CAS loop, so a concurrent append cannot be lost — but each
-        source part is classified and rewritten at most once across
-        retries (memoized below): a losing writer re-checks only parts
-        it has not yet seen (e.g. a concurrent append's new part)."""
+        the CAS loop, so a concurrent append cannot be lost — and the
+        memo is PER SOURCE PART (r4 review: an earlier build keyed it on
+        the whole matched SET, so a lost race against an append with
+        matching rows re-rewrote every previously-matched part): a
+        losing writer classifies and rewrites only parts it has not yet
+        handled; already-merged outputs are carried forward. The one
+        case that discards the memo is a concurrent DELETE/COMPACT
+        removing a part this writer already merged — carrying the merged
+        output could resurrect rows the other writer deleted, so the
+        writer starts over (its earlier merged parts become orphans,
+        reclaimed by ``expire_snapshots``)."""
         checked: dict[str, bool] = {}  # src part → contains matches?
-        rewritten: dict[tuple, str | None] = {}  # matched set → new part
+        handled: set[str] = set()      # matched src parts already merged
+        merged: list[str] = []         # this writer's merged output parts
 
         def make_parts(prev):
             if prev is None:
                 return None
+            if not handled <= set(prev["parts"]):
+                checked.clear()
+                handled.clear()
+                merged.clear()
             unseen = [p for p in prev["parts"] if p not in checked]
             if unseen:
                 hits = self._parts_with_matches(spark, name, unseen,
                                                 predicate)
                 for p in unseen:
                     checked[p] = p in hits
-            matched = [p for p in prev["parts"] if checked[p]]
-            if not matched:
+            new_matched = [p for p in prev["parts"]
+                           if checked[p] and p not in handled]
+            if new_matched:
+                out = self._rewrite_survivors(spark, name, new_matched,
+                                              predicate)
+                if out is not None:
+                    merged.append(out)
+                handled.update(new_matched)
+            if not handled:
                 return None
-            key = tuple(sorted(matched))
-            if key not in rewritten:
-                rewritten[key] = self._rewrite_survivors(
-                    spark, name, matched, predicate)
-            parts = [p for p in prev["parts"] if not checked[p]]
-            if rewritten[key] is not None:
-                parts.append(rewritten[key])
-            return parts
+            return ([p for p in prev["parts"] if not checked[p]]
+                    + list(merged))
 
         return self._commit(name, make_parts, "delete_where")
 

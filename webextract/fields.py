@@ -361,13 +361,24 @@ def extract_spans(text: str, doc_type: str,
     ``patterns_only`` is the M12 cascade's genuinely-cheap pass-1 arm:
     run ONLY the compiled field patterns — no sentence split, no entity
     scan, no proximity scoring, no generic fallbacks. A pattern hit is
-    conf 0.8 (accepted at the default 0.7 gate); a miss is conf 0, so a
-    document with no pattern hits lands at overall 0 and is escalated to
-    the full ensemble. This makes pass 1 cheaper than the full fields
-    stage by ~4× even when the DOM parse dominates (r3 verdict #5)."""
+    conf 0.8; a miss is conf 0. Gate semantics (r4 review fix): the
+    overall confidence may only average over HITS (the full-ensemble
+    convention) when every REQUIRED registry field was pattern-hit —
+    otherwise a single lucky pattern would score 0.8, clear the accept
+    gate, and silently lose fields the skipped sentence/entity/proximity
+    arms would have filled. With a required field missing (or a registry
+    with no required fields), the overall averages over ALL fields
+    (misses count 0), which lands under any realistic gate and
+    escalates to the full ensemble. Optional-only gaps do NOT force
+    escalation — the reference's acceptance rule keys on required
+    fields (F17 required-missing semantics), and the ensemble's extra
+    arms fill optional fields at below-gate confidences anyway. This
+    keeps pass 1 cheaper than the full fields stage by ~4× even when
+    the DOM parse dominates (r3 verdict #5)."""
     if patterns_only:
         spans = []
         confs = []
+        required_total = required_hit = 0
         for name, ftype, required in DOC_FIELDS.get(doc_type,
                                                     DOC_FIELDS[DOC_VANBAN]):
             value, conf, s, e, method = "", 0.0, -1, -1, "none"
@@ -381,9 +392,16 @@ def extract_spans(text: str, doc_type: str,
             spans.append({"name": name, "value": value, "field_type": ftype,
                           "start": s, "end": e, "confidence": conf,
                           "is_required": required, "method": method})
-            if conf > 0:
-                confs.append(conf)
-        return spans, (sum(confs) / len(confs) if confs else 0.0)
+            confs.append(conf)
+            if required:
+                required_total += 1
+                required_hit += conf > 0
+        if not confs:
+            return spans, 0.0
+        hits = [c for c in confs if c > 0]
+        if hits and required_total and required_hit == required_total:
+            return spans, sum(hits) / len(hits)
+        return spans, sum(confs) / len(confs)
     sentences = sentences_of(text)
     firsts = entity_firsts(text)
     spans: list[dict] = []

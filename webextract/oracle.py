@@ -117,3 +117,23 @@ def extract_document(url: str, payload: bytes,
         "n_pages": parsed["n_pages"],
         "error": None,
     }
+
+
+def extract_document_cascade(url: str, payload: bytes, accept: float = 0.7,
+                             cheap_profiles: tuple[str, ...] = ("strict",),
+                             cheap_fields: bool = True) -> dict:
+    """In-process M12 cascade (r4): the document-level twin of
+    pipeline.run_extract_cascade's two-pass plan — cheap pass first;
+    a COMPLETED result below the ``accept`` gate is re-extracted with
+    the full ensemble and the strictly-better result wins (the cheap
+    pass keeps ties, exactly the reference's openai-vs-local pick,
+    ai_service_local.py:513-537). Running the escalation inside the
+    SAME batch skips the two-pass plan's cache materialization, second
+    input scan, and merge joins — per-document output is IDENTICAL
+    (pinned by tests/test_cascade.py)."""
+    first = extract_document(url, payload, cheap_profiles,
+                             patterns_only=cheap_fields)
+    if first["status"] != STATUS_COMPLETED or first["confidence"] >= accept:
+        return first
+    full = extract_document(url, payload)
+    return full if full["confidence"] > first["confidence"] else first

@@ -222,6 +222,29 @@ def run_extract(pages: DataFrame, n_buckets: int = DEFAULT_BUCKETS,
     ).select(*EXTRACTED_COLUMNS)
 
 
+def run_extract_cascade_in_batch(pages: DataFrame, accept: float = 0.7,
+                                 cheap_profiles: tuple[str, ...] = ("strict",),
+                                 n_buckets: int = DEFAULT_BUCKETS,
+                                 cheap_fields: bool = True) -> DataFrame:
+    """M12 cascade, IN-BATCH plan (r4): the gate/escalation runs per
+    document inside the single fused ``mapInPandas`` pass
+    (oracle.extract_document_cascade), so the plan is IDENTICAL to the
+    fixed path — zero shuffle, no pass-1 cache materialization, no
+    second input scan, no merge joins. Output is row-identical to
+    ``run_extract_cascade`` by construction (same per-document decision
+    rule; pinned by tests/test_cascade.py) — this is the cascade shape
+    that actually beats the fixed path on a DOM-dominated corpus
+    (BENCH.md r4), and the one to reach for at 100 TB: the two-pass
+    plan re-reads escalated payload bytes from the source, which only
+    wins when escalation is rare AND the source re-scan is cheaper than
+    in-line escalation (never, for an in-memory batch)."""
+    prepped = with_bucket(pages.select("url", "warc_ts", "html"), n_buckets)
+    body = udfs.make_extract_batches(cheap_profiles, cheap_fields,
+                                     cascade_accept=accept)
+    return (prepped.mapInPandas(body, udfs.EXTRACTED_FIELDS_SCHEMA)
+            .select(*EXTRACTED_COLUMNS))
+
+
 def run_extract_cascade(pages: DataFrame, accept: float = 0.7,
                         cheap_profiles: tuple[str, ...] = ("strict",),
                         n_buckets: int = DEFAULT_BUCKETS,
@@ -246,11 +269,18 @@ def run_extract_cascade(pages: DataFrame, accept: float = 0.7,
 
     ``cheap_fields=True`` additionally runs pass 1 with the patterns-only
     fields arm (fields.extract_spans patterns_only — no sentence split /
-    proximity / entity / fallback scans), which makes pass 1 genuinely
-    cheaper even on corpora where the DOM parse dominates; a doc whose
-    patterns all miss lands at confidence 0 and escalates. Measured on
-    the fixture corpus this flips the cascade from ~2× the fixed path to
-    ~0.7× (r3 verdict #5; BENCH.md)."""
+    proximity / entity / fallback scans): pass 1 accepts only when every
+    REQUIRED field is pattern-hit (fields.py gate semantics, r4), else
+    escalates. NOTE on economics (r4, honest numbers): this TWO-PASS
+    plan pays a pass-1 cache materialization + second input scan +
+    merge joins, which on a DOM-dominated corpus eats the cheap-arm
+    saving (~1.2-1.8× the fixed wall); use
+    ``run_extract_cascade_in_batch`` for the plan whose adaptive cost
+    actually lands under the fixed path (row-identical output). The
+    two-pass shape remains the right one when pass-2 must run a
+    DIFFERENT, externally-costed engine (the reference's rules-vs-LLM
+    regime) or materialize pass-1 results anyway (the checkpointed
+    runner)."""
     return _cascade(
         pages, accept, EXTRACTED_COLUMNS,
         lambda p, prof: run_extract(

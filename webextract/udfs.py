@@ -49,19 +49,24 @@ EXTRACTED_FIELDS_SCHEMA = (
 
 
 def make_extract_batches(profiles: tuple[str, ...] | None = None,
-                         patterns_only: bool = False):
+                         patterns_only: bool = False,
+                         cascade_accept: float | None = None):
     """Factory for the fused body with a restricted candidate-profile
     ensemble and/or the patterns-only fields arm (M12 cascade cheap
-    pass). The closure ships to executors via cloudpickle like any
-    mapInPandas body."""
+    pass). ``cascade_accept`` switches the body to the IN-BATCH cascade
+    (oracle.extract_document_cascade: cheap pass, below-gate documents
+    escalate to the full ensemble inside the same batch — ``profiles``/
+    ``patterns_only`` then describe the cheap pass). The closure ships
+    to executors via cloudpickle like any mapInPandas body."""
     def body(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        return extract_batches(it, profiles, patterns_only)
+        return extract_batches(it, profiles, patterns_only, cascade_accept)
     return body
 
 
 def extract_batches(it: Iterator[pd.DataFrame],
                     profiles: tuple[str, ...] | None = None,
-                    patterns_only: bool = False
+                    patterns_only: bool = False,
+                    cascade_accept: float | None = None
                     ) -> Iterator[pd.DataFrame]:
     """Fused single-pass body: the whole per-document pipeline
     (oracle.extract_document: parse → best-of → fields) in ONE Python
@@ -70,11 +75,20 @@ def extract_batches(it: Iterator[pd.DataFrame],
     text through two extra JVM↔Python hops — measured 2-3× slower).
     Input batches carry url, warc_ts, bucket, html."""
     t0 = time.monotonic()
+    if cascade_accept is not None:
+        def one(url, payload):
+            return oracle.extract_document_cascade(
+                url, payload, accept=cascade_accept,
+                cheap_profiles=profiles or ("strict",),
+                cheap_fields=patterns_only)
+    else:
+        def one(url, payload):
+            return oracle.extract_document(url, payload, profiles,
+                                           patterns_only)
     for pdf in it:
         payloads = pdf["html"]
         recs = [
-            oracle.extract_document(url, bytes(b) if b is not None else b"",
-                                    profiles, patterns_only)
+            one(url, bytes(b) if b is not None else b"")
             for url, b in zip(pdf["url"], payloads)
         ]
         out = pd.DataFrame(
