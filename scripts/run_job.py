@@ -38,10 +38,15 @@ def main() -> None:
     ap.add_argument("--sorted-layout", action="store_true",
                     help="range-partition each commit's output by url for "
                          "point-lookup min-max pruning")
-    ap.add_argument("--cascade", action="store_true",
+    ap.add_argument("--cascade", nargs="?", const="two_pass", default=None,
+                    choices=["two_pass", "in_batch"],
                     help="M12 confidence-gated cascade per commit group: "
                          "cheap strict-profile pass, full ensemble only "
-                         "below --accept")
+                         "below --accept. Bare --cascade = the two-pass "
+                         "plan; --cascade in_batch escalates per document "
+                         "inside the fused map (row-identical, no pass-1 "
+                         "cache or second scan — the faster plan when "
+                         "pass 2 is this engine's own ensemble)")
     ap.add_argument("--accept", type=float, default=0.7,
                     help="cascade confidence gate (with --cascade)")
     args = ap.parse_args()
@@ -77,7 +82,9 @@ def main() -> None:
         n_buckets=args.buckets, commit_groups=args.commit_groups,
         max_groups=args.max_groups, resume=not args.no_resume,
         stage_input=args.stage_input, sorted_layout=args.sorted_layout,
-        cascade=args.cascade, accept=args.accept,
+        cascade=({"two_pass": True, "in_batch": "in_batch"}
+                 .get(args.cascade, False)),
+        accept=args.accept,
     )
     n = out.count()
     ok = out.filter(out.status == "COMPLETED").count()

@@ -164,6 +164,36 @@ def test_runner_cascade_kill_resume(spark, pages_parquet, tmp_path):
     assert final(resumed) == want
 
 
+def test_runner_cascade_in_batch_kill_resume(spark, pages_parquet, tmp_path):
+    """run_job(cascade='in_batch'): the r4 in-batch plan under the same
+    resume mechanics — a killed run resumes to the same final table,
+    which equals both the unchunked in-batch cascade AND the two-pass
+    cascade (row-identical by construction)."""
+    from webextract import runner
+
+    pages = (spark.read.parquet(pages_parquet).limit(100)
+             .unionByName(_short_block_pages(spark)))
+
+    def final(df):
+        rows = df.select("url", "text", "status", "confidence").collect()
+        return sorted((r["url"], r["text"], r["status"], r["confidence"])
+                      for r in rows)
+
+    want = final(pipeline.run_extract_cascade(pages, accept=0.7,
+                                              cheap_fields=True))
+    full = runner.run_job(spark, pages, str(tmp_path / "ibf"),
+                          commit_groups=4, cascade="in_batch")
+    assert final(full) == want
+
+    out = str(tmp_path / "ibk")
+    partial = runner.run_job(spark, pages, out, commit_groups=4,
+                             max_groups=2, cascade="in_batch")
+    assert 0 < partial.count() < 103
+    resumed = runner.run_job(spark, pages, out, commit_groups=4,
+                             cascade="in_batch")
+    assert final(resumed) == want
+
+
 def test_cascade_multi_snapshot_urls(spark):
     """(url, warc_ts) is the document key: two snapshots of one url —
     one confident, one below the gate — must yield exactly two output

@@ -222,6 +222,26 @@ def run_extract(pages: DataFrame, n_buckets: int = DEFAULT_BUCKETS,
     ).select(*EXTRACTED_COLUMNS)
 
 
+def run_extract_cascade_in_batch_full(
+        pages: DataFrame, accept: float = 0.7,
+        cheap_profiles: tuple[str, ...] = ("strict",),
+        n_buckets: int = DEFAULT_BUCKETS, repartition: bool = False,
+        cheap_fields: bool = True) -> DataFrame:
+    """In-batch cascade keeping the lineage side-band columns (bucket,
+    bytes_in, _wall_ms) — the checkpointed runner's variant
+    (runner.run_job(cascade='in_batch')). _wall_ms is the cumulative
+    batch wall including in-line escalations; lineage takes the
+    per-bucket max as usual."""
+    prepped = with_bucket(pages.select("url", "warc_ts", "html"), n_buckets)
+    if repartition:
+        n_parts = prepped.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions")
+        prepped = prepped.repartition(int(n_parts), "bucket")
+    body = udfs.make_extract_batches(cheap_profiles, cheap_fields,
+                                     cascade_accept=accept)
+    return prepped.mapInPandas(body, udfs.EXTRACTED_FIELDS_SCHEMA)
+
+
 def run_extract_cascade_in_batch(pages: DataFrame, accept: float = 0.7,
                                  cheap_profiles: tuple[str, ...] = ("strict",),
                                  n_buckets: int = DEFAULT_BUCKETS,
@@ -238,11 +258,9 @@ def run_extract_cascade_in_batch(pages: DataFrame, accept: float = 0.7,
     plan re-reads escalated payload bytes from the source, which only
     wins when escalation is rare AND the source re-scan is cheaper than
     in-line escalation (never, for an in-memory batch)."""
-    prepped = with_bucket(pages.select("url", "warc_ts", "html"), n_buckets)
-    body = udfs.make_extract_batches(cheap_profiles, cheap_fields,
-                                     cascade_accept=accept)
-    return (prepped.mapInPandas(body, udfs.EXTRACTED_FIELDS_SCHEMA)
-            .select(*EXTRACTED_COLUMNS))
+    return run_extract_cascade_in_batch_full(
+        pages, accept, cheap_profiles, n_buckets,
+        cheap_fields=cheap_fields).select(*EXTRACTED_COLUMNS)
 
 
 def run_extract_cascade(pages: DataFrame, accept: float = 0.7,

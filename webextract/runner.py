@@ -98,7 +98,12 @@ def run_job(
     instead of re-scanning everything (see module docstring).
     ``cascade=True`` extracts each commit group with the M12
     confidence-gated cascade (pipeline.run_extract_cascade_full,
-    ``accept`` gate) — same resume/lineage mechanics, adaptive cost.
+    ``accept`` gate) — same resume/lineage mechanics, adaptive cost;
+    ``cascade='in_batch'`` uses the r4 in-batch plan
+    (pipeline.run_extract_cascade_in_batch_full: per-document
+    escalation inside the fused map — row-identical output, no pass-1
+    cache or second scan per group; the faster choice when pass 2 is
+    this engine's own ensemble rather than an external one).
 
     Concurrency contract: ONE live run_job per ``out_root``. Two
     concurrent runners would both see the same pending buckets and
@@ -152,7 +157,11 @@ def run_job(
                 chunk = prepped.filter(F.col("cgroup") == g).drop("cgroup")
             else:
                 chunk = prepped.filter(F.col("bucket").isin(buckets))
-            if cascade:
+            if cascade == "in_batch":
+                extracted = pipeline.run_extract_cascade_in_batch_full(
+                    chunk, accept=accept, n_buckets=n_buckets,
+                    repartition=True)
+            elif cascade:
                 extracted = pipeline.run_extract_cascade_full(
                     chunk, accept=accept, n_buckets=n_buckets,
                     repartition=True)
