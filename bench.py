@@ -175,7 +175,10 @@ def run_ann_scale_bench(spark, n_vec: int = 20000, dim: int = 64,
     structures (cheap at any width; same buckets)."""
     from webextract import ann, cache
 
-    emb = spark.read.parquet(_emb_fixture(spark, n_vec, dim))
+    path = _emb_fixture(spark, n_vec, dim)
+    _tune_corpus_splits(spark, path)  # in-row bucket assignment rides
+    # the scan: untuned, the whole N·planes·D fold runs as ONE task
+    emb = spark.read.parquet(path)
     out: dict = {"n_vec": n_vec, "dim": dim}
     cap = ann.DEFAULT_BUCKET_CAP
     lsh_pairs = _candidate_pair_count(ann.lsh_buckets_blas(emb), cap)
@@ -227,6 +230,19 @@ def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _tune_corpus_splits(spark, path: str) -> None:
+    """Right-size scan splits for a cached corpus: it is few large
+    parquet files, and an untuned scan caps the payload-touching first
+    stage at O(files) tasks (one 28 MB file = ONE task at any core
+    count — the scaling probe's serial-stage trap)."""
+    from webextract import pipeline
+
+    size = (os.path.getsize(path) if os.path.isfile(path) else sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path) for f in fs))
+    pipeline.tune_input_splits(spark, size)
+
+
 def run_dedup_bench(spark, n_docs: int) -> dict:
     """End-to-end MinHash deduplicate() over the SAME 240k-page corpus
     the extraction bench uses (r2 verdict #7 — the micro-benches ran
@@ -234,6 +250,7 @@ def run_dedup_bench(spark, n_docs: int) -> dict:
     from webextract import cache, dedup
 
     path = pages_corpus(n_docs)
+    _tune_corpus_splits(spark, path)
     pages = spark.read.parquet(path).select("url", "text")
     warm = dedup.deduplicate(pages.limit(2048), id_col="url", text_col="text")
     warm.write.format("noop").mode("overwrite").save()
@@ -256,7 +273,9 @@ def run_prod_lsh_bench(spark, n_docs: int) -> dict:
     pipeline pays."""
     from webextract import cache, dedup
 
-    pages = spark.read.parquet(pages_corpus(n_docs)).select("url", "text")
+    path = pages_corpus(n_docs)
+    _tune_corpus_splits(spark, path)
+    pages = spark.read.parquet(path).select("url", "text")
     t0 = time.monotonic()
     sig = dedup.minhash_signatures(pages, "url", "text", n_hashes=128)
     n_pairs = dedup.candidate_pairs(sig, "url", n_hashes=128,
@@ -288,6 +307,12 @@ def main() -> None:
     ap.add_argument("--sf-dir",
                     default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--extract-only", action="store_true")
+    ap.add_argument("--lsh-only", action="store_true",
+                    help="shuffle-path scaling probe: cold production "
+                         "MinHash LSH (128-hash signatures + band "
+                         "bucket-join) over the corpus texts at --cpus "
+                         "— the N vs 4N evidence for the shuffle-bound "
+                         "path (scripts/scaling_bench.py --mode lsh)")
     args = ap.parse_args()
 
     from webextract import pipeline
@@ -296,6 +321,19 @@ def main() -> None:
                                    shuffle_partitions=max(args.cpus, 8))
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    if args.lsh_only:
+        # best-of-N repeats, same policy as the extract probe (this VM's
+        # short-job walls vary ~2×; the scaling RATIO is the quantity)
+        reps = int(os.environ.get("WEBEXTRACT_BENCH_REPEATS", "1"))
+        best = None
+        for _ in range(max(1, reps)):
+            r = run_prod_lsh_bench(spark, args.docs)
+            if best is None or r["wall_sec"] < best["wall_sec"]:
+                best = r
+        print(json.dumps({"cpus": args.cpus, **best}))
+        spark.stop()
+        return
 
     # --extract-only is the scaling-bench probe (scripts/scaling_bench):
     # fixed path only — the cascade variants belong to the full bench

@@ -30,11 +30,13 @@ LEVELS = (2, 8, 32)
 _CONTROL_DOCS: list[tuple[str, bytes]] = []
 
 
-def spark_run(cpus: int, docs: int) -> dict:
-    env = {**os.environ, "WEBEXTRACT_BENCH_REPEATS": "3"}
+def spark_run(cpus: int, docs: int, probe: str = "--extract-only") -> dict:
+    env = {**os.environ,
+           "WEBEXTRACT_BENCH_REPEATS":
+               os.environ.get("WEBEXTRACT_BENCH_REPEATS", "3")}
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"),
-         "--extract-only", "--cpus", str(cpus), "--docs", str(docs)],
+         probe, "--cpus", str(cpus), "--docs", str(docs)],
         capture_output=True, text=True, check=True, cwd=REPO, env=env,
     )
     line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
@@ -74,10 +76,28 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=240000)
     ap.add_argument("--control-docs", type=int, default=64000)
+    ap.add_argument("--mode", choices=["extract", "lsh"], default="extract",
+                    help="extract: the headline zero-shuffle extraction "
+                         "job (writes BENCH.md). lsh: the shuffle-bound "
+                         "production MinHash LSH path (cold signatures + "
+                         "band bucket-join) — JSON only, results are "
+                         "hand-curated into BENCH.md; no mp control (a "
+                         "shuffle has no no-framework equivalent)")
     args = ap.parse_args()
 
     import bench
     corpus = bench.pages_corpus(args.docs)
+
+    if args.mode == "lsh":
+        res = {c: spark_run(c, args.docs, "--lsh-only") for c in LEVELS}
+
+        def leff(a, b):
+            return (res[b]["docs_per_sec"] / res[a]["docs_per_sec"]) / (b / a)
+
+        print(json.dumps({"mode": "lsh", "levels": res,
+                          "eff_2_8": round(leff(2, 8), 3),
+                          "eff_8_32": round(leff(8, 32), 3)}))
+        return
     spark_res = {c: spark_run(c, args.docs) for c in LEVELS}
     ctrl_res = {c: control_run(c, args.control_docs, corpus) for c in LEVELS}
 
