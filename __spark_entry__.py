@@ -1378,6 +1378,56 @@ FROM documents GROUP BY lang
 """)
 
 
+# [F13] deterministic dictionary word segmentation
+# (textstats.join_compounds — the underthesea word_tokenize analogue,
+# ai_service_local.py:81-94, minus the nondeterministic model). The
+# compound list is drawn from the documents table's vocabulary so the
+# join rate is non-trivial; nested entries ("order data column" ⊃
+# "data column") pin the longest-first determinism spec. The DuckDB
+# oracle replays the IDENTICAL replace chain — both sides are generated
+# from this one ordered list.
+_SEG_COMPOUNDS = ["order data column", "data column", "table part",
+                  "scan query", "key agg", "fast sort", "slow fast"]
+
+
+def _compound_word_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F13] textstats.join_compounds over documents: MWE tokens joined
+    with '_' by whole-word substring replacement (space-doubled shadow),
+    longest-first. Pure codegen string ops, zero shuffle."""
+    _prep(spark)
+    from webextract import textstats
+    docs = textstats.join_compounds(_t(spark, sf_dir, "documents"),
+                                    compounds=_SEG_COMPOUNDS)
+    return docs.select("doc_id", "lang", "seg_text", "n_words",
+                       "n_compounds")
+
+
+def _seg_replace_chain_sql() -> str:
+    from webextract import textstats
+    expr = "' ' || replace(text, ' ', '  ') || ' '"
+    for comp in textstats._ordered_compounds(_SEG_COMPOUNDS):
+        pat = " " + "  ".join(comp.split()) + " "
+        rep = " " + "_".join(comp.split()) + " "
+        expr = f"replace({expr}, '{pat}', '{rep}')"
+    return expr
+
+
+_register("compound_word_segment", _compound_word_segment, f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(string_split({_seg_replace_chain_sql()}, ' '),
+                     x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id, lang,
+       array_to_string(toks, ' ') AS seg_text,
+       cast(len(toks) as bigint) AS n_words,
+       cast(len(list_filter(toks, x -> contains(x, '_'))) as bigint)
+         AS n_compounds
+FROM t
+""")
+
+
 _EN_STOP = "'the', 'of', 'and', 'a', 'to', 'in', 'is', 'on', 'for', 'with'"
 _VI_STOP = "'và', 'của', 'các', 'là', 'có', 'cho', 'trong', 'được', 'người', 'không'"
 
@@ -2641,6 +2691,7 @@ _PRIORITY = [
     "extract_flagship", "extract_pdf_pages", "ann_recall_at_k",
     "ann_lsh_topk_blas", "ann_ivf_topk_blas",
     "embedding_near_dup_bucketed_blas", "extract_cascade_in_batch_oracled",
+    "compound_word_segment",
     # longest-unverified next (judge-green r3, driver-green r1 only)
     "dedup_clusters_bounded", "lsh_jaccard_verified", "simhash_doc_hashes",
     "embedding_norms", "cosine_topk_bruteforce", "ann_lsh_buckets",

@@ -704,3 +704,55 @@ def test_blas_kernel_drops_invalid_and_releases(spark):
         assert r["q_id"] not in {2, 3} and r["neighbor_id"] not in {2, 3}
     cache.release(out)
     assert cache.release_all() == 0, "release(result) left frames cached"
+
+
+def _py_join_compounds(text: str, comps: list[str]) -> tuple[str, int, int]:
+    """Pure-Python twin of textstats.join_compounds (the determinism
+    spec, SURVEY F13): space-doubled shadow + whole-word substring
+    replacement, longest-syllable-count-first then list order."""
+    c = " " + (text or "").replace(" ", "  ") + " "
+    for comp in sorted(comps, key=lambda s: -len(s.split())):
+        c = c.replace(" " + "  ".join(comp.split()) + " ",
+                      " " + "_".join(comp.split()) + " ")
+    toks = [t for t in c.split(" ") if t]
+    return (" ".join(toks), len(toks),
+            sum(1 for t in toks if "_" in t))
+
+
+def test_join_compounds_longest_first_nested(spark):
+    # nested dictionary entries: the 5-syllable motto must win over its
+    # 4- and 2-syllable sub-compounds; a standalone "xã hội" elsewhere
+    # still joins at its own tier
+    text = ("cộng hòa xã hội chủ nghĩa việt nam độc lập tự do hạnh phúc "
+            "và xã hội hiện đại")
+    df = spark.createDataFrame([(text,)], "text string")
+    row = textstats.segment_vi(df).collect()[0]
+    toks = row["seg_text"].split(" ")
+    assert "cộng_hòa_xã_hội_chủ_nghĩa" in toks
+    assert "xã_hội" in toks  # the later standalone occurrence
+    assert "việt_nam" in toks and "độc_lập" in toks
+    assert row["n_compounds"] == int(row["n_compounds"])  # bigint col
+    want = _py_join_compounds(text, textstats.VI_COMPOUNDS)
+    assert (row["seg_text"], row["n_words"], row["n_compounds"]) == want
+
+
+def test_join_compounds_matches_python_twin(spark):
+    comps = ["a b c", "b c", "x y"]
+    texts = [
+        "a b c x y",        # longest-first: a_b_c wins over b_c
+        "q a b c b c q",    # second b c still joins after a_b_c
+        "x y x y",          # adjacent repeats both join
+        "x  y",             # multi-space never matches (spec)
+        "",                 # empty text
+        "x y",              # exact full-string compound
+        None,               # null → empty
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [(r["seg_text"], r["n_words"], r["n_compounds"])
+           for r in textstats.join_compounds(df, compounds=comps).collect()]
+    want = [_py_join_compounds(t, comps) for t in texts]
+    assert got == want
+    assert got[0][0] == "a_b_c x_y"
+    assert got[1][0] == "q a_b_c b_c q"
+    assert got[2][0] == "x_y x_y"
+    assert got[3] == ("x y", 2, 0)

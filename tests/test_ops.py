@@ -30,6 +30,8 @@ FAST_QUERIES = [
     # generated-SQL machinery at ~1 min.)
     "extract_field_values",
     "ann_ivf_topk",
+    # round 4: F13 dictionary segmentation (generated replace-chain SQL)
+    "compound_word_segment",
 ]
 
 

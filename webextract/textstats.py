@@ -5,8 +5,14 @@ Reusable DataFrame-in/DataFrame-out APIs (VERDICT r1 next-round #5) whose
 semantics are pinned by the driver's DuckDB oracles in __spark_entry__
 (token_counts_by_lang / token_counts_regex / lang_id_stopwords /
 lang_id_char_ngrams / doc_quality_scores / doc_fingerprints /
-winnow_fingerprints). Everything is native Catalyst — no Python UDFs —
-so at 100 TB these are one scan + (at most) one hash aggregation each.
+winnow_fingerprints / compound_word_segment). Everything is native
+Catalyst — no Python UDFs — so at 100 TB these are one scan + (at
+most) one hash aggregation each.
+
+Round 4 adds ``join_compounds``/``segment_vi`` — deterministic
+dictionary word segmentation (F13, the reference's underthesea
+word_tokenize shape, ai_service_local.py:81-94, without the
+nondeterministic model dependency).
 """
 
 from __future__ import annotations
@@ -88,6 +94,82 @@ def lang_id_char_ngrams(df: DataFrame, text_col: str = "text",
             else F.col(f"{lang}_bigrams") > others[0]
         pred = F.when(cond, F.lit(lang)).otherwise(pred)
     return out.withColumn("pred_lang", pred)
+
+
+# Common Vietnamese multi-syllable compound words (public vocabulary;
+# ordering inside a syllable-count tier is the list order below — part
+# of the deterministic spec). Nested entries ("xã hội chủ nghĩa" ⊃
+# "xã hội", "cộng hòa xã hội chủ nghĩa" ⊃ both) pin longest-first wins.
+VI_COMPOUNDS = [
+    "cộng hòa xã hội chủ nghĩa", "xã hội chủ nghĩa", "tổng giám đốc",
+    "văn bản", "hồ sơ", "tài liệu", "quyết định", "nghị định",
+    "thông tư", "cơ quan", "chính phủ", "ủy ban", "nhân dân", "xã hội",
+    "học sinh", "sinh viên", "đại học", "giáo dục", "kinh tế",
+    "thông tin", "số lượng", "ngày tháng", "địa chỉ", "điện thoại",
+    "công ty", "doanh nghiệp", "thủ tướng", "bộ trưởng", "chủ tịch",
+    "giám đốc", "nhà nước", "pháp luật", "quy định", "nội dung",
+    "thời gian", "kế hoạch", "báo cáo", "dự án", "hợp đồng",
+    "ngân hàng", "tài chính", "ngân sách", "cộng hòa", "độc lập",
+    "tự do", "hạnh phúc", "việt nam", "hà nội",
+]
+
+
+def _ordered_compounds(compounds: list[str]) -> list[str]:
+    # longest (syllable count) first; Python's stable sort keeps the
+    # caller's list order within a tier — both are part of the spec
+    return sorted(compounds, key=lambda c: -len(c.split()))
+
+
+def join_compounds(df: DataFrame, text_col: str = "text",
+                   compounds: list[str] | None = None) -> DataFrame:
+    """F13 — deterministic dictionary word segmentation (the reference's
+    underthesea word_tokenize, ai_service_local.py:81-94, re-expressed
+    without the nondeterministic model dependency): known multi-word
+    compounds are joined into single tokens with '_', longest-first,
+    via WHOLE-WORD substring replacement. Mechanism: double every
+    space so each token boundary owns a space on both sides, then for
+    compound "a b" replace " a  b " → " a_b " — plain substring
+    replace, so the chain replays VERBATIM in any SQL dialect
+    (``replace`` in DuckDB — no regex, no lookaround, no recursion),
+    and a boundary's leftover space keeps adjacent matches intact.
+    Pure Catalyst codegen string ops; O(|dict|) passes over the text,
+    one scan, zero shuffle — at 100 TB this pipelines with any
+    downstream aggregation.
+
+    Determinism spec: compounds apply longest-syllable-count-first,
+    then input-list order (stable sort); replacement is the engine's
+    standard non-overlapping left-to-right scan (identical in Spark
+    and DuckDB). Multi-space runs in the input never match (a
+    compound pattern requires exactly one original space between
+    syllables) — documented, dialect-identical behavior.
+
+    Adds: ``seg_text`` (tokens re-joined with single spaces, compounds
+    '_'-joined), ``n_words`` (post-join token count), ``n_compounds``
+    (tokens containing '_')."""
+    comps = _ordered_compounds(
+        VI_COMPOUNDS if compounds is None else compounds)
+    c = F.concat(F.lit(" "),
+                 F.replace(F.coalesce(F.col(text_col), F.lit("")),
+                           F.lit(" "), F.lit("  ")),
+                 F.lit(" "))
+    for comp in comps:
+        pattern = " " + "  ".join(comp.split()) + " "
+        joined = " " + "_".join(comp.split()) + " "
+        c = F.replace(c, F.lit(pattern), F.lit(joined))
+    toks = F.filter(F.split(c, " "), lambda x: x != "")
+    return (
+        df.withColumn("seg_text", F.array_join(toks, " "))
+        .withColumn("n_words", F.size(toks).cast("bigint"))
+        .withColumn(
+            "n_compounds",
+            F.size(F.filter(toks, lambda x: x.contains("_"))).cast("bigint"))
+    )
+
+
+def segment_vi(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Vietnamese instantiation of ``join_compounds`` (the F13 operator
+    proper): the embedded VI_COMPOUNDS lexicon over Vietnamese text."""
+    return join_compounds(df, text_col, VI_COMPOUNDS)
 
 
 def quality_scores(df: DataFrame, text_col: str = "text",
