@@ -1,7 +1,7 @@
 """Operator battery spot-check: a fast subset of __spark_entry__
 queries compared against their DuckDB oracles at sf0.001, using the same
 canonicalization the driver applies (sorted columns, order-insensitive
-row hash). The full 36-query sweep at sf0.01 runs via
+row hash). The full 75-query sweep at sf0.01 runs via
 scripts/check_entry.py (and by the driver per-round)."""
 
 import duckdb

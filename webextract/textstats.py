@@ -139,9 +139,11 @@ def join_compounds(df: DataFrame, text_col: str = "text",
     Determinism spec: compounds apply longest-syllable-count-first,
     then input-list order (stable sort); replacement is the engine's
     standard non-overlapping left-to-right scan (identical in Spark
-    and DuckDB). Multi-space runs in the input never match (a
-    compound pattern requires exactly one original space between
-    syllables) — documented, dialect-identical behavior.
+    and DuckDB). Matching is CASE-SENSITIVE (the lexicon is lowercase;
+    sentence-initial capitalized occurrences stay unjoined — lowercase
+    upstream if that matters). Multi-space runs in the input never
+    match (a compound pattern requires exactly one original space
+    between syllables) — documented, dialect-identical behavior.
 
     Adds: ``seg_text`` (tokens re-joined with single spaces, compounds
     '_'-joined), ``n_words`` (post-join token count), ``n_compounds``
