@@ -1378,6 +1378,93 @@ FROM documents GROUP BY lang
 """)
 
 
+def _canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U1/P1 keying] webextract.urls.canonical_url over synthesized
+    spelling variants: 5 variants per page (fragment, :443 default
+    port, UPPERCASE host, www., trailing slash, utm_* params,
+    unsorted query) must collapse to ONE canonical key — n_variants
+    counts the collapse via a window over the canon key. The DuckDB
+    oracle replays the 7-step spec as a lateral-alias chain."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    from webextract import urls
+    ks = (F.col("doc_id") % 50).cast("string")
+    k = F.col("doc_id") % 50
+    c = F.col("doc_id") % 5
+    qq = F.when(k >= 25, F.lit("?z=9&a=1")).otherwise(F.lit(""))
+    url = (
+        F.when(c == 0, F.concat(F.lit("https://ex"), ks,
+                                F.lit(".org/page/"), ks, qq))
+        .when(c == 1, F.concat(F.lit("https://EX"), ks,
+                               F.lit(".ORG:443/page/"), ks, qq,
+                               F.lit("#frag")))
+        .when(c == 2, F.concat(F.lit("https://www.ex"), ks,
+                               F.lit(".org/page/"), ks, F.lit("/"), qq))
+        .when(c == 3, F.concat(
+            F.lit("https://ex"), ks, F.lit(".org/page/"), ks,
+            F.when(k >= 25, F.lit("?z=9&utm_source=feed&a=1"))
+            .otherwise(F.lit("?utm_source=feed&utm_campaign=x"))))
+        .otherwise(F.concat(F.lit("https://ex"), ks,
+                            F.lit(".org:443/page/"), ks, F.lit("/"),
+                            qq, F.lit("#sec"))))
+    raw = _t(spark, sf_dir, "documents").select(
+        "doc_id", url.alias("url"))
+    out = urls.with_canonical_url(raw)
+    return out.withColumn(
+        "n_variants",
+        F.count("*").over(Window.partitionBy("canon_url")).cast("bigint"))
+
+
+_register("canonical_url_dedup", _canonical_url_dedup, r"""
+WITH raw AS (
+  SELECT doc_id, CAST(doc_id % 50 AS VARCHAR) AS ks,
+         doc_id % 50 AS k, doc_id % 5 AS c,
+         CASE WHEN doc_id % 50 >= 25 THEN '?z=9&a=1' ELSE '' END AS qq
+  FROM documents
+), u AS (
+  SELECT doc_id,
+    CASE c
+      WHEN 0 THEN 'https://ex' || ks || '.org/page/' || ks || qq
+      WHEN 1 THEN 'https://EX' || ks || '.ORG:443/page/' || ks || qq
+                  || '#frag'
+      WHEN 2 THEN 'https://www.ex' || ks || '.org/page/' || ks || '/'
+                  || qq
+      WHEN 3 THEN 'https://ex' || ks || '.org/page/' || ks ||
+                  CASE WHEN k >= 25 THEN '?z=9&utm_source=feed&a=1'
+                       ELSE '?utm_source=feed&utm_campaign=x' END
+      ELSE 'https://ex' || ks || '.org:443/page/' || ks || '/' || qq
+           || '#sec'
+    END AS url
+  FROM raw
+), canon AS (
+  SELECT doc_id, url,
+    regexp_replace(url, '#.*$', '') AS u0,
+    regexp_extract(u0, '^([^?]*)', 1) AS base,
+    regexp_extract(u0, '^[^?]*\?(.*)$', 1) AS query,
+    regexp_extract(base, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1) AS auth,
+    regexp_replace(substring(base, length(auth) + 1), '/+$', '') AS path,
+    lower(auth) AS la0,
+    CASE WHEN starts_with(la0, 'https://')
+         THEN regexp_replace(la0, ':443$', '')
+         WHEN starts_with(la0, 'http://')
+         THEN regexp_replace(la0, ':80$', '')
+         ELSE la0 END AS la1,
+    replace(replace(la1, 'https://www.', 'https://'),
+            'http://www.', 'http://') AS la,
+    list_sort(list_filter(string_split(query, '&'),
+      x -> x <> '' AND NOT starts_with(x, 'utm_'))) AS kept,
+    la || path || CASE WHEN len(kept) > 0
+                       THEN '?' || array_to_string(kept, '&')
+                       ELSE '' END AS canon_url
+  FROM u
+)
+SELECT doc_id, url, canon_url,
+       cast(count(*) OVER (PARTITION BY canon_url) as bigint) AS n_variants
+FROM canon
+""")
+
+
 # [F13] deterministic dictionary word segmentation
 # (textstats.join_compounds — the underthesea word_tokenize analogue,
 # ai_service_local.py:81-94, minus the nondeterministic model). The
@@ -2691,7 +2778,7 @@ _PRIORITY = [
     "extract_flagship", "extract_pdf_pages", "ann_recall_at_k",
     "ann_lsh_topk_blas", "ann_ivf_topk_blas",
     "embedding_near_dup_bucketed_blas", "extract_cascade_in_batch_oracled",
-    "compound_word_segment",
+    "compound_word_segment", "canonical_url_dedup",
     # longest-unverified next (judge-green r3, driver-green r1 only)
     "dedup_clusters_bounded", "lsh_jaccard_verified", "simhash_doc_hashes",
     "embedding_norms", "cosine_topk_bruteforce", "ann_lsh_buckets",

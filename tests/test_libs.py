@@ -756,3 +756,40 @@ def test_join_compounds_matches_python_twin(spark):
     assert got[1][0] == "q a_b_c b_c q"
     assert got[2][0] == "x_y x_y"
     assert got[3] == ("x y", 2, 0)
+
+
+def test_canonical_url_spec(spark):
+    from webextract import urls
+
+    cases = {
+        "https://Ex.ORG:443/Docs/Page/#frag": "https://ex.org/Docs/Page",
+        "http://www.ex.org:80/a/b/?utm_source=x&b=2&a=1":
+            "http://ex.org/a/b?a=1&b=2",
+        "https://www.ex.org/": "https://ex.org",
+        "https://ex.org/path?z=1&a=2&utm_campaign=c&":
+            "https://ex.org/path?a=2&z=1",
+        # non-http scheme: port kept (only scheme defaults are dropped)
+        "ftp://Ex.org:80/X/": "ftp://ex.org:80/X",
+        "https://ex.org": "https://ex.org",
+        # path stays case-sensitive; :443 only stripped for https
+        "http://ex.org:443/A": "http://ex.org:443/A",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r["url"]: r["canon_url"]
+           for r in urls.with_canonical_url(df).collect()}
+    assert got == cases
+
+
+def test_canonical_url_collapses_variants(spark):
+    from webextract import urls
+
+    variants = [
+        "https://ex.org/page/7?b=2&a=1",
+        "https://EX.ORG:443/page/7?b=2&a=1#frag",
+        "https://www.ex.org/page/7/?a=1&b=2&utm_source=f",
+        "https://ex.org/page/7?a=1&utm_campaign=x&b=2",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "url string")
+    canon = {r["canon_url"]
+             for r in urls.with_canonical_url(df).collect()}
+    assert canon == {"https://ex.org/page/7?a=1&b=2"}

@@ -1,0 +1,74 @@
+"""URL canonicalization — the dedup/partition key normalizer.
+
+A Common-Crawl-scale corpus holds the same page under many spellings:
+fragments, default ports, tracking parameters, ``www.``, trailing
+slashes, mixed-case hosts. Exact dedup (U1), the resume bucketing
+(pmod(xxhash64(url))), and point lookups (P1) all key on ``url``, so a
+canonical form multiplies their effectiveness. The reference has no
+URL handling beyond filename prefixes (ocr_service.py:170-179); this
+is the web-corpus analogue of its filename normalization.
+
+Deterministic spec (in application order — each step is a plain
+Catalyst string op, replayable verbatim in DuckDB SQL; no regex
+backreferences, no lookarounds, binary string sort only):
+
+1. strip the fragment (``#…``);
+2. split off the query at the first ``?``;
+3. lowercase the scheme+authority (host) part only — paths stay
+   case-sensitive;
+4. drop the scheme's default port (``:80`` http, ``:443`` https);
+5. drop a leading ``www.`` (dedup keying, not a fetchable rewrite);
+6. drop trailing slashes on the path;
+7. drop empty and ``utm_*`` query parameters, sort the rest
+   (binary order), re-join with ``&`` (dropped entirely if none
+   survive).
+
+``canonical_url`` is a Column → Column expression; everything is
+whole-stage-codegen string ops — at 100 TB it rides the scan with
+zero shuffle. Oracled by the driver query ``canonical_url_dedup``
+(__spark_entry__), which exercises every rule above on synthesized
+variants and is replayed in DuckDB from the same spec.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def canonical_url(url: str | Column = "url") -> Column:
+    u = F.col(url) if isinstance(url, str) else url
+    u = F.regexp_replace(u, "#.*$", "")                       # 1
+    base = F.regexp_extract(u, "^([^?]*)", 1)                 # 2
+    query = F.regexp_extract(u, r"^[^?]*\?(.*)$", 1)
+    auth = F.regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1)
+    path = F.substring(base, F.length(auth) + 1, F.length(base))
+    la = F.lower(auth)                                        # 3
+    a = (F.when(la.startswith("https://"),
+                F.regexp_replace(la, ":443$", ""))            # 4
+         .when(la.startswith("http://"),
+               F.regexp_replace(la, ":80$", ""))
+         .otherwise(la))
+    a = F.replace(a, F.lit("https://www."), F.lit("https://"))  # 5
+    a = F.replace(a, F.lit("http://www."), F.lit("http://"))
+    path = F.regexp_replace(path, "/+$", "")                  # 6
+    kept = F.array_sort(F.filter(                             # 7
+        F.split(query, "&"),
+        lambda x: (x != "") & ~x.startswith("utm_")))
+    q = F.array_join(kept, "&")
+    return F.concat(
+        a, path,
+        F.when(F.size(kept) > 0, F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+
+
+def with_canonical_url(df: DataFrame, url_col: str = "url",
+                       out_col: str = "canon_url") -> DataFrame:
+    """Adds the canonical form; pair with groupBy(out_col) for exact
+    URL-level dedup or use it as the bucketing/point-lookup key."""
+    return df.withColumn(out_col, canonical_url(url_col))
+
+
+# The DuckDB replay of the same seven steps lives in __spark_entry__
+# (`canonical_url_dedup` oracle) as a lateral-alias SELECT chain —
+# change the spec here and there together.
