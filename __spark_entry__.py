@@ -1515,6 +1515,203 @@ FROM t
 """)
 
 
+# ---------------------------------------------------------------------------
+# Training-pipeline quality/dedup operators over a paragraph-shaped corpus.
+# The documents fixture is single-line word soup, so the three queries below
+# synthesize paragraph boundaries deterministically (replace ' a ' → '\n' —
+# plain substring replace, identical in both dialects) the same way
+# canonical_url_dedup synthesizes URLs.
+
+
+def _paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[training-pipeline dedup] dedup.dedup_paragraphs — C4/CCNet-style
+    corpus-level paragraph dedup with reassembly: first occurrence wins
+    (ordered by (doc_id, position)), docs rebuilt from surviving
+    paragraphs. One md5-keyed hash aggregation + one join + one
+    bounded collect_list per doc."""
+    _prep(spark)
+    from webextract import dedup
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" a "), F.lit("\n")).alias("text"))
+    return dedup.dedup_paragraphs(docs)
+
+
+_register("paragraph_dedup_reassembly", _paragraph_dedup, r"""
+WITH d AS (
+  SELECT doc_id, replace(text, ' a ', chr(10)) AS t FROM documents
+), lst AS (
+  SELECT doc_id, string_split(t, chr(10)) AS l FROM d
+), p AS (
+  SELECT doc_id, unnest(l) AS para, unnest(range(1, len(l) + 1)) AS pos
+  FROM lst
+), np AS (
+  SELECT doc_id, para, pos FROM p WHERE length(para) >= 1
+), rk AS (
+  SELECT doc_id, para, pos,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rk
+  FROM np
+)
+SELECT b.doc_id,
+       coalesce(t.text, '') AS text,
+       cast(coalesce(c.n_paras, 0) as bigint) AS n_paras,
+       cast(coalesce(t.n_kept, 0) as bigint) AS n_paras_kept
+FROM documents b
+LEFT JOIN (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text,
+                  count(*) AS n_kept
+           FROM rk WHERE rk = 1 GROUP BY doc_id) t ON b.doc_id = t.doc_id
+LEFT JOIN (SELECT doc_id, count(*) AS n_paras FROM np GROUP BY doc_id) c
+       ON b.doc_id = c.doc_id
+""")
+
+
+def _gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[quality filtering] textstats.repetition_signals — Gopher-style
+    duplicate-line fractions (in-row, zero shuffle) + top-2-gram /
+    dup-3-gram character fractions (two hash aggregations)."""
+    _prep(spark)
+    from webextract import textstats
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" a "), F.lit("\n")).alias("text"))
+    return textstats.repetition_signals(docs, n_top=2, n_dup=3)
+
+
+_register("gopher_repetition_signals", _gopher_repetition, r"""
+WITH d AS (
+  SELECT doc_id, replace(text, ' a ', chr(10)) AS t FROM documents
+), base AS (
+  SELECT doc_id,
+    list_filter(string_split(t, chr(10)), x -> x <> '') AS lines,
+    list_filter(string_split(replace(t, chr(10), ' '), ' '), x -> x <> '')
+      AS toks
+  FROM d
+), lm AS (
+  SELECT doc_id, toks,
+    cast(len(lines) as bigint) AS n_lines,
+    CASE WHEN len(lines) > 0 THEN
+      cast(len(lines) - len(list_distinct(lines)) as double) / len(lines)
+    ELSE 0.0 END AS dup_line_frac,
+    CASE WHEN cast(coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+              as bigint) > 0 THEN
+      cast(list_sum(list_transform(lines, x -> length(x)))
+           - list_sum(list_transform(list_distinct(lines), x -> length(x)))
+        as double)
+      / cast(list_sum(list_transform(lines, x -> length(x))) as bigint)
+    ELSE 0.0 END AS dup_line_char_frac
+  FROM base
+), g2 AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+      list_transform(range(1, len(toks)),
+                     i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+    ELSE []::VARCHAR[] END) AS gram
+  FROM lm
+), c2 AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY doc_id, gram
+), t2 AS (
+  SELECT doc_id, gram, cnt,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, gram DESC) AS rk,
+         sum(cnt * length(gram)) OVER (PARTITION BY doc_id) AS all_chars
+  FROM c2
+), top2 AS (
+  SELECT doc_id, gram AS top_gram,
+         cast(cnt * length(gram) as double) / cast(all_chars as bigint)
+           AS top_gram_frac
+  FROM t2 WHERE rk = 1
+), g3 AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN
+      list_transform(range(1, len(toks) - 1),
+                     i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+    ELSE []::VARCHAR[] END) AS gram
+  FROM lm
+), c3 AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY doc_id, gram
+), d3 AS (
+  SELECT doc_id,
+    cast(coalesce(sum(CASE WHEN cnt > 1 THEN cnt * length(gram) END), 0)
+      as double) / cast(sum(cnt * length(gram)) as bigint) AS dup_gram_frac
+  FROM c3 GROUP BY doc_id
+)
+SELECT lm.doc_id, lm.n_lines, lm.dup_line_frac, lm.dup_line_char_frac,
+       coalesce(top2.top_gram, '') AS top_gram,
+       coalesce(top2.top_gram_frac, 0.0) AS top_gram_frac,
+       coalesce(d3.dup_gram_frac, 0.0) AS dup_gram_frac
+FROM lm
+LEFT JOIN top2 ON lm.doc_id = top2.doc_id
+LEFT JOIN d3 ON lm.doc_id = d3.doc_id
+""")
+
+
+def _gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[quality filtering] textstats.gopher_quality_flags — Gopher rule
+    battery (word count, mean word length, symbol/bullet/ellipsis
+    ratios, alpha-word fraction, stopword gate) as in-row Catalyst."""
+    _prep(spark)
+    from webextract import textstats
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.gopher_quality_flags(docs).select(
+        "doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
+        "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+        "stop_hits", "gopher_pass")
+
+
+_register("gopher_quality_flags", _gopher_flags, r"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+    list_filter(string_split(replace(coalesce(text, ''), chr(10), ' '), ' '),
+                x -> x <> '') AS toks,
+    list_filter(string_split(coalesce(text, ''), chr(10)),
+                x -> x <> '') AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    cast(len(toks) as bigint) AS n_words,
+    cast(len(lines) as bigint) AS n_lines,
+    cast(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+      as bigint) AS wchars,
+    cast((length(t) - length(replace(t, '#', ''))) / 1 as bigint)
+      + cast((length(t) - length(replace(t, '...', ''))) / 3 as bigint)
+      AS symbols,
+    cast(len(list_filter(lines, x -> starts_with(x, '- ')
+                                   OR starts_with(x, '* ')
+                                   OR starts_with(x, '• '))) as bigint)
+      AS bullet_lines,
+    cast(len(list_filter(lines, x -> ends_with(x, '...'))) as bigint)
+      AS ellipsis_lines,
+    cast(len(list_filter(toks, x -> regexp_matches(x, '\p{L}'))) as bigint)
+      AS alpha_words,
+    cast(len(list_filter(toks, x -> list_contains(
+      ['the', 'of', 'and', 'a', 'to', 'in', 'is', 'on', 'for', 'with'], x)))
+      as bigint) AS stop_hits
+  FROM base
+), r AS (
+  SELECT doc_id, n_words,
+    CASE WHEN n_words > 0 THEN cast(wchars as double) / n_words
+         ELSE 0.0 END AS mean_word_len,
+    CASE WHEN n_words > 0 THEN cast(symbols as double) / n_words
+         ELSE 0.0 END AS symbol_word_ratio,
+    CASE WHEN n_lines > 0 THEN cast(bullet_lines as double) / n_lines
+         ELSE 0.0 END AS bullet_line_frac,
+    CASE WHEN n_lines > 0 THEN cast(ellipsis_lines as double) / n_lines
+         ELSE 0.0 END AS ellipsis_line_frac,
+    CASE WHEN n_words > 0 THEN cast(alpha_words as double) / n_words
+         ELSE 0.0 END AS alpha_word_frac,
+    stop_hits
+  FROM m
+)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
+       ellipsis_line_frac, alpha_word_frac, stop_hits,
+       CASE WHEN n_words >= 50 AND n_words <= 100000
+             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+             AND symbol_word_ratio < 0.1 AND bullet_line_frac < 0.9
+             AND ellipsis_line_frac < 0.3 AND alpha_word_frac > 0.8
+             AND stop_hits >= 2
+            THEN 1 ELSE 0 END AS gopher_pass
+FROM r
+""")
+
+
 _EN_STOP = "'the', 'of', 'and', 'a', 'to', 'in', 'is', 'on', 'for', 'with'"
 _VI_STOP = "'và', 'của', 'các', 'là', 'có', 'cho', 'trong', 'được', 'người', 'không'"
 
@@ -2779,6 +2976,8 @@ _PRIORITY = [
     "ann_lsh_topk_blas", "ann_ivf_topk_blas",
     "embedding_near_dup_bucketed_blas", "extract_cascade_in_batch_oracled",
     "compound_word_segment", "canonical_url_dedup",
+    "paragraph_dedup_reassembly", "gopher_repetition_signals",
+    "gopher_quality_flags",
     # longest-unverified next (judge-green r3, driver-green r1 only)
     "dedup_clusters_bounded", "lsh_jaccard_verified", "simhash_doc_hashes",
     "embedding_norms", "cosine_topk_bruteforce", "ann_lsh_buckets",

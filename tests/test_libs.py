@@ -793,3 +793,70 @@ def test_canonical_url_collapses_variants(spark):
     canon = {r["canon_url"]
              for r in urls.with_canonical_url(df).collect()}
     assert canon == {"https://ex.org/page/7?a=1&b=2"}
+
+
+def test_dedup_paragraphs_first_occurrence_wins(spark):
+    rows = [
+        (1, "x\ny\nx\nz z z"),   # internal dup: second 'x' dropped
+        (2, "y\nw w"),           # 'y' already owned by doc 1
+        (3, "x\ny"),             # loses everything
+        (4, ""),                 # no paragraphs at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: (r["text"], r["n_paras"], r["n_paras_kept"])
+           for r in dedup.dedup_paragraphs(df).collect()}
+    assert got[1] == ("x\ny\nz z z", 4, 3)
+    assert got[2] == ("w w", 2, 1)
+    assert got[3] == ("", 2, 0)
+    assert got[4] == ("", 0, 0)
+
+
+def test_dedup_paragraphs_order_and_custom_sep(spark):
+    # first occurrence is by (id, pos), not input row order; separator
+    # is a literal (regex metachars must not leak into the split)
+    rows = [(5, "b.a.c"), (2, "a.b")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["text"]
+           for r in dedup.dedup_paragraphs(df, sep=".").collect()}
+    assert got[2] == "a.b"      # doc 2 owns both (lower id)
+    assert got[5] == "c"        # 'b' and 'a' seen first in doc 2
+
+
+def test_repetition_signals_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "x\ny\nx\nz z z"), (2, "")], "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in
+           textstats.repetition_signals(df, n_top=2, n_dup=2).collect()}
+    r1 = out[1]
+    # lines [x, y, x, 'z z z']: one repeated occurrence of 4; chars 1/8
+    assert r1["n_lines"] == 4
+    assert r1["dup_line_frac"] == pytest.approx(0.25)
+    assert r1["dup_line_char_frac"] == pytest.approx(0.125)
+    # tokens x y x z z z → 2-grams: 'x y','y x','x z','z z','z z'
+    assert r1["top_gram"] == "z z"
+    assert r1["top_gram_frac"] == pytest.approx(6 / 15)
+    assert r1["dup_gram_frac"] == pytest.approx(6 / 15)
+    r2 = out[2]  # empty doc: all-zero, no nulls
+    assert (r2["n_lines"], r2["top_gram"]) == (0, "")
+    assert r2["dup_line_frac"] == r2["top_gram_frac"] == 0.0
+
+
+def test_gopher_quality_flags_rules(spark):
+    good = " ".join(
+        ["the quick brown fox jumps over the lazy dog again"] * 6)  # 60 words
+    rows = [
+        (1, good),                                  # passes every rule
+        (2, "short the text"),                      # < 50 words
+        (3, good + " " + " ".join(["###"] * 12)),   # symbol-heavy
+        (4, "\n".join(["- item the list"] * 60)),   # bullet lines > 0.9
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in
+           textstats.gopher_quality_flags(df).collect()}
+    assert got[1]["gopher_pass"] == 1
+    assert got[1]["alpha_word_frac"] == 1.0 and got[1]["stop_hits"] >= 2
+    assert got[2]["gopher_pass"] == 0
+    assert got[3]["gopher_pass"] == 0
+    assert got[3]["symbol_word_ratio"] > 0.1
+    assert got[4]["gopher_pass"] == 0
+    assert got[4]["bullet_line_frac"] == 1.0

@@ -134,6 +134,68 @@ def exact_duplicates(df: DataFrame, key: Column,
     )
 
 
+def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", sep: str = "\n",
+                     min_chars: int = 1) -> DataFrame:
+    """C4/CCNet-style corpus-level paragraph dedup WITH reassembly:
+    split every document on the literal ``sep``, keep each distinct
+    paragraph only at its first occurrence corpus-wide (ordered by
+    ``(id, position)`` — deterministic at any parallelism), and rebuild
+    each document's text from its surviving paragraphs in original
+    order. Paragraphs shorter than ``min_chars`` are dropped outright
+    (empties never survive the split).
+
+    Scale shape (the part that matters at 100 TB): the first-occurrence
+    election shuffles ``md5(paragraph)`` keys — 32 bytes per paragraph
+    occurrence, never the paragraph text — in ONE hash aggregation with
+    map-side partial min; the winner set joins back on the same key
+    (AQE handles residual hot-paragraph skew), and reassembly is one
+    ``collect_list`` per doc, bounded by the doc's own paragraph count.
+    Exactness rests on md5 collision-freedom (standard for exact dedup;
+    the same assumption as ``fingerprints``).
+
+    Returns one row per input doc: ``(id, text, n_paras,
+    n_paras_kept)`` — ``text`` is the deduplicated reassembly (empty
+    string when every paragraph was seen earlier)."""
+    import re as _re
+    parts = F.split(F.col(text_col), _re.escape(sep))
+    paras = df.select(
+        F.col(id_col), F.posexplode(parts).alias("_pos", "_para")
+    ).filter(F.length("_para") >= min_chars)
+    keyed = paras.select(
+        id_col, "_pos", "_para", F.md5("_para").alias("_pkey"))
+    first = keyed.groupBy("_pkey").agg(
+        F.min(F.struct(F.col(id_col), F.col("_pos"))).alias("_w"))
+    kept = (
+        keyed.join(first, "_pkey")
+        .filter((F.col(f"_w.{id_col}") == F.col(id_col))
+                & (F.col("_w._pos") == F.col("_pos")))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_para"))),
+                lambda s: s["_para"]),
+            sep).alias("_text"),
+        F.count("*").alias("_n_kept"),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(F.filter(parts, lambda x: F.length(x) >= min_chars))
+        .cast("bigint").alias("n_paras"),
+    )
+    return (
+        base.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_text", F.lit("")).alias("text"),
+            "n_paras",
+            F.coalesce(F.col("_n_kept").cast("bigint"),
+                       F.lit(0).cast("bigint")).alias("n_paras_kept"),
+        )
+    )
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n_hashes: int = 4,
                        prefix_len: int = 12,

@@ -12,7 +12,15 @@ most) one hash aggregation each.
 Round 4 adds ``join_compounds``/``segment_vi`` — deterministic
 dictionary word segmentation (F13, the reference's underthesea
 word_tokenize shape, ai_service_local.py:81-94, without the
-nondeterministic model dependency).
+nondeterministic model dependency) — and the Gopher quality-filter
+family: ``repetition_signals`` (dup-line fractions in-row; top/dup
+n-gram char fractions as two hash aggregations — oracle
+`gopher_repetition_signals`) and ``gopher_quality_flags`` (the Rae
+et al. 2021 Table-A1 rule battery, in-row, zero shuffle — oracle
+`gopher_quality_flags`). Ratio columns are RAW single divisions of
+exact integer counts — bit-identical across Spark/DuckDB, no
+engine-side rounding (HALF_UP-vs-half-even diverges on power-of-two
+denominators; the driver canonicalizer rounds at 6 on both sides).
 """
 
 from __future__ import annotations
@@ -203,6 +211,188 @@ def quality_scores(df: DataFrame, text_col: str = "text",
         .withColumn("punct_ratio", F.round(punct.cast("double") / n_chars, nd))
         .withColumn("quality_score", F.round(score, 6))
     )
+
+
+def repetition_signals(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", line_sep: str = "\n",
+                       n_top: int = 2, n_dup: int = 5) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1) per doc:
+
+    - ``n_lines``, ``dup_line_frac`` (repeated line occurrences beyond
+      the first / total lines), ``dup_line_char_frac`` (characters in
+      those repeated occurrences / total line characters) — in-row
+      array ops, zero shuffle;
+    - ``top_gram`` / ``top_gram_frac``: the most frequent word
+      ``n_top``-gram and the fraction of n-gram characters it covers
+      (count × chars / total n-gram chars). Ties break to the
+      lexicographically largest gram (deterministic spec);
+    - ``dup_gram_frac``: fraction of ``n_dup``-gram characters covered
+      by grams occurring more than once.
+
+    Words = non-empty splits of the text with ``line_sep`` replaced by
+    a space (Gopher tokenizes across lines). The n-gram metrics are two
+    hash aggregations over exploded grams — partial-agg friendly, no
+    windows, so at 100 TB each is one shuffle of (doc, gram-hash)-sized
+    rows. Divergence from the paper (documented): char fractions are
+    over occurrence-weighted n-gram characters, not unique text
+    positions (overlap-exact coverage needs per-position bookkeeping
+    that buys nothing for filtering); both are monotone in repetition.
+    """
+    lines = F.filter(F.split(F.col(text_col), _lit_re(line_sep)),
+                     lambda x: x != "")
+    dlines = F.array_distinct(lines)
+
+    def _chars(arr: Column) -> Column:
+        return F.aggregate(arr, F.lit(0).cast("bigint"),
+                           lambda a, x: a + F.length(x))
+
+    n_lines = F.size(lines).cast("bigint")
+    lchars = _chars(lines)
+    base = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.replace(F.col(text_col), F.lit(line_sep), F.lit(" ")),
+                    " "),
+            lambda x: x != "").alias("_toks"),
+        n_lines.alias("n_lines"),
+        F.when(n_lines > 0,
+               (n_lines - F.size(dlines)).cast("double") / n_lines
+               ).otherwise(0.0).alias("dup_line_frac"),
+        F.when(lchars > 0,
+               (lchars - _chars(dlines)).cast("double") / lchars
+               ).otherwise(0.0).alias("dup_line_char_frac"),
+    )
+
+    def _gram_counts(n: int) -> DataFrame:
+        grams = F.when(
+            F.size("_toks") >= n,
+            F.transform(F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+                        lambda i: F.array_join(F.slice("_toks", i, n), " ")),
+        ).otherwise(F.array().cast("array<string>"))
+        return (
+            base.select(id_col, F.explode(grams).alias("gram"))
+            .groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
+        )
+
+    g_top = _gram_counts(n_top).groupBy(id_col).agg(
+        F.max(F.struct("cnt", "gram")).alias("_top"),
+        F.sum(F.col("cnt") * F.length("gram")).alias("_all_chars"),
+    ).select(
+        id_col,
+        F.col("_top.gram").alias("top_gram"),
+        ((F.col("_top.cnt") * F.length("_top.gram")).cast("double")
+         / F.col("_all_chars")).alias("top_gram_frac"),
+    )
+    g_dup = _gram_counts(n_dup).groupBy(id_col).agg(
+        (F.coalesce(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * F.length("gram"))),
+            F.lit(0)).cast("double")
+         / F.sum(F.col("cnt") * F.length("gram"))).alias("dup_gram_frac"),
+    )
+    return (
+        base.drop("_toks")
+        .join(g_top, id_col, "left")
+        .join(g_dup, id_col, "left")
+        .select(
+            id_col, "n_lines", "dup_line_frac", "dup_line_char_frac",
+            F.coalesce("top_gram", F.lit("")).alias("top_gram"),
+            F.coalesce("top_gram_frac", F.lit(0.0)).alias("top_gram_frac"),
+            F.coalesce("dup_gram_frac", F.lit(0.0)).alias("dup_gram_frac"),
+        )
+    )
+
+
+GOPHER_BULLETS = ["- ", "* ", "• "]
+EN_ALPHA_RE = r"\p{L}"
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text",
+                         line_sep: str = "\n",
+                         min_words: int = 50, max_words: int = 100000,
+                         min_mean_word_len: float = 3.0,
+                         max_mean_word_len: float = 10.0,
+                         max_symbol_ratio: float = 0.1,
+                         max_bullet_frac: float = 0.9,
+                         max_ellipsis_frac: float = 0.3,
+                         min_alpha_frac: float = 0.8,
+                         min_stop_hits: int = 2) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021 Table A1) as pure in-row
+    Catalyst — zero shuffle, rides the scan at any corpus size. Adds:
+    ``n_words``, ``mean_word_len``, ``symbol_word_ratio`` ('#' and
+    '...' per word), ``bullet_line_frac``, ``ellipsis_line_frac``,
+    ``alpha_word_frac`` (words containing a letter — unicode ``\\p{L}``,
+    identical in Java regex and RE2), ``stop_hits`` (English stopword
+    occurrences), and ``gopher_pass`` (1 iff every rule passes, int for
+    dialect-stable hashing). Thresholds are the paper's defaults,
+    overridable per corpus."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(F.split(F.replace(t, F.lit(line_sep), F.lit(" ")), " "),
+                    lambda x: x != "")
+    lines = F.filter(F.split(t, _lit_re(line_sep)), lambda x: x != "")
+    n_words = F.size(toks).cast("bigint")
+    n_lines = F.size(lines)
+    wchars = F.aggregate(toks, F.lit(0).cast("bigint"),
+                         lambda a, x: a + F.length(x))
+    mean_wl = F.when(n_words > 0,
+                     wchars.cast("double") / n_words).otherwise(0.0)
+
+    def _count(sub: str) -> Column:
+        return ((F.length(t) - F.length(F.replace(t, F.lit(sub), F.lit(""))))
+                / len(sub)).cast("bigint")
+
+    symbols = _count("#") + _count("...")
+    sym_ratio = F.when(n_words > 0,
+                       symbols.cast("double") / n_words).otherwise(0.0)
+    def _is_bullet(x: Column) -> Column:
+        cond = x.startswith(GOPHER_BULLETS[0])
+        for p in GOPHER_BULLETS[1:]:
+            cond = cond | x.startswith(p)
+        return cond
+
+    bullet = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, _is_bullet)).cast("double") / n_lines
+    ).otherwise(0.0)
+    ellipsis = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda x: x.endswith("..."))).cast("double")
+        / n_lines).otherwise(0.0)
+    alpha = F.when(
+        n_words > 0,
+        F.size(F.filter(toks, lambda x: x.rlike(EN_ALPHA_RE))).cast("double")
+        / n_words).otherwise(0.0)
+    stops = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    stop_hits = F.size(F.filter(toks,
+                                lambda x: F.array_contains(stops, x))
+                       ).cast("bigint")
+    out = (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", mean_wl)
+        .withColumn("symbol_word_ratio", sym_ratio)
+        .withColumn("bullet_line_frac", bullet)
+        .withColumn("ellipsis_line_frac", ellipsis)
+        .withColumn("alpha_word_frac", alpha)
+        .withColumn("stop_hits", stop_hits)
+    )
+    passed = (
+        (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_word_ratio") < max_symbol_ratio)
+        & (F.col("bullet_line_frac") < max_bullet_frac)
+        & (F.col("ellipsis_line_frac") < max_ellipsis_frac)
+        & (F.col("alpha_word_frac") > min_alpha_frac)
+        & (F.col("stop_hits") >= min_stop_hits)
+    )
+    return out.withColumn("gopher_pass", passed.cast("int"))
+
+
+def _lit_re(sep: str) -> str:
+    """Regex-escape a literal separator for F.split (which is
+    regex-based; DuckDB's string_split is literal — the escape keeps
+    the two dialects on the same literal semantics)."""
+    import re
+    return re.escape(sep)
 
 
 def fingerprints(df: DataFrame, id_col: str = "doc_id",
