@@ -1712,6 +1712,64 @@ FROM r
 """)
 
 
+def _pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[PII scrubbing] pii.scrub_pii — email/IPv4/phone redaction with
+    per-label counts over documents with deterministically planted PII
+    (the fixture corpus has none). Pure regexp chain, zero shuffle."""
+    _prep(spark)
+    from webextract import pii
+    k = F.col("doc_id")
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), k.cast("string"), F.lit("@example.com"),
+            F.lit(" from 10.0."), (k % 256).cast("string"), F.lit(".17"),
+            F.when(k % 3 == 0,
+                   F.concat(F.lit(" call +1 555 0199 "),
+                            F.lpad((k % 100).cast("string"), 2, "0")))
+            .otherwise(F.lit("")),
+        ).alias("text"))
+    return pii.scrub_pii(d).select(
+        "doc_id", "n_email", "n_ip", "n_phone", "scrubbed_text")
+
+
+def _pii_scrub_sql() -> str:
+    """Generated from pii.PII_PATTERNS — one CTE per label, each
+    counting on the text as it stands before its own replacement (the
+    module's sequential spec), so the SQL cannot drift from the code."""
+    from webextract import pii
+    sql = r"""
+WITH s0 AS (
+  SELECT doc_id,
+         text || ' contact user' || cast(doc_id as varchar)
+              || '@example.com'
+              || ' from 10.0.' || cast(doc_id % 256 as varchar) || '.17'
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' call +1 555 0199 '
+                           || lpad(cast(doc_id % 100 as varchar), 2, '0')
+                      ELSE '' END AS t0
+  FROM documents
+)"""
+    prev = "s0"
+    for i, (label, pat, rep) in enumerate(pii.PII_PATTERNS):
+        sql += f""", s{i + 1} AS (
+  SELECT *,
+    cast(len(regexp_extract_all(t{i}, '{pat}')) as bigint) AS n_{label},
+    regexp_replace(t{i}, '{pat}', '{rep}', 'g') AS t{i + 1}
+  FROM {prev}
+)"""
+        prev = f"s{i + 1}"
+    n = len(pii.PII_PATTERNS)
+    cols = ", ".join(f"n_{label}" for label, _, _ in pii.PII_PATTERNS)
+    return sql + f"""
+SELECT doc_id, {cols}, t{n} AS scrubbed_text FROM {prev}
+"""
+
+
+_register("pii_scrub", _pii_scrub, _pii_scrub_sql())
+
+
 _EN_STOP = "'the', 'of', 'and', 'a', 'to', 'in', 'is', 'on', 'for', 'with'"
 _VI_STOP = "'và', 'của', 'các', 'là', 'có', 'cho', 'trong', 'được', 'người', 'không'"
 
@@ -2977,7 +3035,7 @@ _PRIORITY = [
     "embedding_near_dup_bucketed_blas", "extract_cascade_in_batch_oracled",
     "compound_word_segment", "canonical_url_dedup",
     "paragraph_dedup_reassembly", "gopher_repetition_signals",
-    "gopher_quality_flags",
+    "gopher_quality_flags", "pii_scrub",
     # longest-unverified next (judge-green r3, driver-green r1 only)
     "dedup_clusters_bounded", "lsh_jaccard_verified", "simhash_doc_hashes",
     "embedding_norms", "cosine_topk_bruteforce", "ann_lsh_buckets",

@@ -860,3 +860,27 @@ def test_gopher_quality_flags_rules(spark):
     assert got[3]["symbol_word_ratio"] > 0.1
     assert got[4]["gopher_pass"] == 0
     assert got[4]["bullet_line_frac"] == 1.0
+
+
+def test_scrub_pii_labels_and_order(spark):
+    from webextract import pii
+    rows = [
+        (1, "mail bob.smith+x@ex-ample.org now"),
+        (2, "server at 192.168.001.255 up"),
+        (3, "call +1 555 0199 77 or 123456789"),
+        (4, "digits inside user123@ex.com stay email, not phone"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in pii.scrub_pii(df).collect()}
+    assert got[1]["scrubbed_text"] == "mail <EMAIL> now"
+    assert (got[1]["n_email"], got[1]["n_ip"], got[1]["n_phone"]) == (1, 0, 0)
+    assert got[2]["scrubbed_text"] == "server at <IP> up"
+    assert got[2]["n_ip"] == 1
+    # two phone-shaped runs: separated digits and a bare 9-digit run
+    assert got[3]["scrubbed_text"] == "call <PHONE> or <PHONE>"
+    assert got[3]["n_phone"] == 2
+    # sequential spec: the email is redacted BEFORE phone counting, so
+    # its digits never count as a phone
+    assert (got[4]["n_email"], got[4]["n_phone"]) == (1, 0)
+    assert got[5]["scrubbed_text"] == ""  # null-safe
