@@ -1712,6 +1712,51 @@ FROM r
 """)
 
 
+def _host_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[host-level quota sampling] urls.host_quota — keep at most 20
+    docs per host (lexicographically-smallest URLs win) over a
+    synthesized skewed corpus: one mega-host owning half the docs plus
+    25 small hosts. Cascaded salted hash-aggregate cap (cap_buckets) —
+    no per-host window; also exercises host_of normalization
+    (WWW./:443 stripping)."""
+    _prep(spark)
+    from webextract import urls
+    k = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.when(k < 250,
+               F.concat(F.lit("https://WWW.Big.org:443/p/"),
+                        k.cast("string")))
+        .otherwise(F.concat(F.lit("https://ex"), (k % 25).cast("string"),
+                            F.lit(".org/p/"), k.cast("string")))
+        .alias("url"))
+    return urls.host_quota(docs, max_per_host=20).select(
+        "host", "url", "doc_id", "lang")
+
+
+_register("host_quota_sample", _host_quota_sample, r"""
+WITH u AS (
+  SELECT doc_id, lang,
+    CASE WHEN doc_id < 250
+         THEN 'https://WWW.Big.org:443/p/' || cast(doc_id as varchar)
+         ELSE 'https://ex' || cast(doc_id % 25 as varchar) || '.org/p/'
+              || cast(doc_id as varchar) END AS url
+  FROM documents
+), h AS (
+  SELECT doc_id, lang, url,
+    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1))
+      AS h0,
+    regexp_replace(h0, ':[0-9]+$', '') AS h1,
+    CASE WHEN starts_with(h1, 'www.') THEN substring(h1, 5) ELSE h1 END
+      AS host
+  FROM u
+), rk AS (
+  SELECT *, row_number() OVER (PARTITION BY host ORDER BY url) AS rk FROM h
+)
+SELECT host, url, doc_id, lang FROM rk WHERE rk <= 20
+""")
+
+
 def _pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[PII scrubbing] pii.scrub_pii — email/IPv4/phone redaction with
     per-label counts over documents with deterministically planted PII
@@ -3035,7 +3080,7 @@ _PRIORITY = [
     "embedding_near_dup_bucketed_blas", "extract_cascade_in_batch_oracled",
     "compound_word_segment", "canonical_url_dedup",
     "paragraph_dedup_reassembly", "gopher_repetition_signals",
-    "gopher_quality_flags", "pii_scrub",
+    "gopher_quality_flags", "pii_scrub", "host_quota_sample",
     # longest-unverified next (judge-green r3, driver-green r1 only)
     "dedup_clusters_bounded", "lsh_jaccard_verified", "simhash_doc_hashes",
     "embedding_norms", "cosine_topk_bruteforce", "ann_lsh_buckets",

@@ -884,3 +884,25 @@ def test_scrub_pii_labels_and_order(spark):
     # its digits never count as a phone
     assert (got[4]["n_email"], got[4]["n_phone"]) == (1, 0)
     assert got[5]["scrubbed_text"] == ""  # null-safe
+
+
+def test_host_of_and_host_quota(spark):
+    from webextract import urls
+    rows = [(f"https://WWW.Big.org:443/p/{i:03d}",) for i in range(30)] + [
+        ("https://small.org/x",), ("http://other.net:8080/y",), ("no-scheme",),
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    hosts = {r["url"]: r["h"] for r in
+             df.select("url", urls.host_of("url").alias("h")).collect()}
+    assert hosts["https://WWW.Big.org:443/p/000"] == "big.org"
+    assert hosts["http://other.net:8080/y"] == "other.net"  # non-default
+    assert hosts["no-scheme"] == ""                         # port stripped
+    out = urls.host_quota(df, max_per_host=5).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r["url"])
+    assert len(by_host["big.org"]) == 5
+    # deterministic: the 5 lexicographically-smallest urls win
+    assert sorted(by_host["big.org"]) == [
+        f"https://WWW.Big.org:443/p/{i:03d}" for i in range(5)]
+    assert by_host["small.org"] == ["https://small.org/x"]

@@ -69,6 +69,38 @@ def with_canonical_url(df: DataFrame, url_col: str = "url",
     return df.withColumn(out_col, canonical_url(url_col))
 
 
+def host_of(url: str | Column = "url") -> Column:
+    """Registrable host of a URL: the authority lowercased, port
+    stripped, leading ``www.`` stripped — the grouping key for
+    host-level corpus policies (quotas, skew salting, reputation).
+    Pure codegen string ops; empty string for scheme-less inputs."""
+    u = F.col(url) if isinstance(url, str) else url
+    h = F.lower(F.regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)",
+                                 1))
+    h = F.regexp_replace(h, ":[0-9]+$", "")
+    return F.when(h.startswith("www."),
+                  F.substring(h, 5, F.length(h))).otherwise(h)
+
+
+def host_quota(df: DataFrame, url_col: str = "url",
+               max_per_host: int = 1000,
+               host_col: str = "host") -> DataFrame:
+    """Host-level quota sampling — keep at most ``max_per_host``
+    documents per host, deterministically (the ``max_per_host``
+    lexicographically-smallest URLs win). The Common-Crawl balancing
+    op: without it a handful of mega-hosts dominate the token budget.
+
+    Scale shape: delegates to ``dedup.cap_buckets`` — a cascade of
+    salted hash aggregations, NOT a per-host window, so a host owning
+    10⁸ pages never routes through a single task's sort and no
+    aggregation buffer scales with host size. Extra columns ride
+    along; adds ``host_col``."""
+    from .dedup import cap_buckets
+    h = df.withColumn(host_col, host_of(url_col))
+    return cap_buckets(h, id_col=url_col, bucket_cap=max_per_host,
+                       key_cols=(host_col,))
+
+
 # The DuckDB replay of the same seven steps lives in __spark_entry__
 # (`canonical_url_dedup` oracle) as a lateral-alias SELECT chain —
 # change the spec here and there together.
