@@ -263,36 +263,47 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id",
                ).otherwise(0.0).alias("dup_line_char_frac"),
     )
 
-    def _gram_counts(n: int) -> DataFrame:
-        grams = F.when(
+    def _grams(n: int) -> Column:
+        return F.when(
             F.size("_toks") >= n,
             F.transform(F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
                         lambda i: F.array_join(F.slice("_toks", i, n), " ")),
         ).otherwise(F.array().cast("array<string>"))
-        return (
-            base.select(id_col, F.explode(grams).alias("gram"))
-            .groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
-        )
 
-    g_top = _gram_counts(n_top).groupBy(id_col).agg(
-        F.max(F.struct("cnt", "gram")).alias("_top"),
-        F.sum(F.col("cnt") * F.length("gram")).alias("_all_chars"),
+    # Both n-gram metrics share ONE exploded pass (tagged union) and one
+    # aggregation chain — the input subtree is computed twice total
+    # (row-level line metrics + the gram pass), not once per metric
+    # (Spark inlines shared subtrees; the r1 verdict's CTE lesson).
+    def _tag(tag: str, arr: Column) -> Column:
+        return F.transform(arr, lambda g: F.struct(
+            F.lit(tag).alias("tag"), g.alias("gram")))
+
+    tg = base.select(
+        id_col,
+        F.explode(F.concat(_tag("t", _grams(n_top)),
+                           _tag("d", _grams(n_dup)))).alias("_tg"),
+    ).select(id_col, F.col("_tg.tag").alias("tag"),
+             F.col("_tg.gram").alias("gram"))
+    counts = tg.groupBy(id_col, "tag", "gram").agg(F.count("*").alias("cnt"))
+    gchars = F.col("cnt") * F.length("gram")
+    agg = counts.groupBy(id_col).agg(
+        F.max(F.when(F.col("tag") == "t", F.struct("cnt", "gram")))
+        .alias("_top"),
+        F.sum(F.when(F.col("tag") == "t", gchars)).alias("_all_t"),
+        F.sum(F.when((F.col("tag") == "d") & (F.col("cnt") > 1), gchars))
+        .alias("_dup_d"),
+        F.sum(F.when(F.col("tag") == "d", gchars)).alias("_all_d"),
     ).select(
         id_col,
         F.col("_top.gram").alias("top_gram"),
         ((F.col("_top.cnt") * F.length("_top.gram")).cast("double")
-         / F.col("_all_chars")).alias("top_gram_frac"),
-    )
-    g_dup = _gram_counts(n_dup).groupBy(id_col).agg(
-        (F.coalesce(
-            F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * F.length("gram"))),
-            F.lit(0)).cast("double")
-         / F.sum(F.col("cnt") * F.length("gram"))).alias("dup_gram_frac"),
+         / F.col("_all_t")).alias("top_gram_frac"),
+        (F.coalesce(F.col("_dup_d"), F.lit(0)).cast("double")
+         / F.col("_all_d")).alias("dup_gram_frac"),
     )
     return (
         base.drop("_toks")
-        .join(g_top, id_col, "left")
-        .join(g_dup, id_col, "left")
+        .join(agg, id_col, "left")
         .select(
             id_col, "n_lines", "dup_line_frac", "dup_line_char_frac",
             F.coalesce("top_gram", F.lit("")).alias("top_gram"),
