@@ -176,3 +176,41 @@ def test_cascade_retry_join_is_left_semi(spark, pages_parquet):
     pages = spark.read.parquet(pages_parquet).limit(32)
     plan = _explain(pipeline.run_extract_cascade(pages), "extended")
     assert "LeftSemi" in plan, plan
+
+
+def test_gopher_flags_zero_exchange(spark):
+    """gopher_quality_flags is pure in-row Catalyst — the rule battery
+    must ride the scan with NO shuffle (and no Python UDF stage)."""
+    from webextract import textstats
+
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox") for i in range(8)],
+        "doc_id bigint, text string")
+    plan = _explain(textstats.gopher_quality_flags(df))
+    assert "Exchange" not in plan, plan
+    assert "pythonudf" not in plan.lower(), plan
+
+
+def test_dedup_paragraphs_window_free(spark):
+    """Paragraph dedup's first-occurrence election is a hash aggregation
+    (map-side partial min), never a per-paragraph window sort, and the
+    winner join keys on md5 — paragraph text must not be a join key."""
+    from webextract import dedup
+
+    df = spark.createDataFrame(
+        [(i, "a\nb\nc") for i in range(8)], "doc_id bigint, text string")
+    plan = _explain(dedup.dedup_paragraphs(df))
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan or "partial min" in plan.lower() \
+        or "HashAggregate" in plan, plan
+
+
+def test_host_quota_window_free(spark):
+    """host_quota delegates to the cascaded salted cap — a mega-host
+    must never route through a single task's window sort."""
+    from webextract import urls
+
+    df = spark.createDataFrame(
+        [(f"https://big.org/p/{i}",) for i in range(64)], "url string")
+    plan = _explain(urls.host_quota(df, max_per_host=4))
+    assert "Window" not in plan, plan
