@@ -51,6 +51,12 @@ BENCH_QUERIES = [
     "lsh_candidate_pairs_prod",
     "simhash_prod_pairs",
     "embedding_near_dup_bucketed",
+    # round 4: corpus-hygiene operators (Gopher filters, paragraph-level
+    # dedup with reassembly, PII scrubbing, host quotas)
+    "gopher_repetition_signals",
+    "paragraph_dedup_reassembly",
+    "pii_scrub",
+    "host_quota_sample",
 ]
 
 

@@ -32,6 +32,12 @@ FAST_QUERIES = [
     "ann_ivf_topk",
     # round 4: F13 dictionary segmentation (generated replace-chain SQL)
     "compound_word_segment",
+    # round 4: corpus hygiene — pii_scrub's oracle is generated from
+    # PII_PATTERNS (pin the generator); paragraph dedup pins the
+    # election/reassembly SQL twin
+    "pii_scrub",
+    "paragraph_dedup_reassembly",
+    "host_quota_sample",
 ]
 
 
