@@ -1757,6 +1757,41 @@ SELECT host, url, doc_id, lang FROM rk WHERE rk <= 20
 """)
 
 
+def _decontamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[benchmark decontamination] dedup.decontaminate(mode='flag') —
+    flag every document sharing an 8-token word n-gram with a
+    'benchmark' set (here: the first 10 documents' texts). Broadcast
+    semi-join over exploded corpus grams — no corpus-side shuffle."""
+    _prep(spark)
+    from webextract import dedup
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 10).select("text")
+    return dedup.decontaminate(docs, bench, n=8, mode="flag").select(
+        "doc_id", "contaminated")
+
+
+_register("decontamination_flags", _decontamination_flags, r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 8 THEN
+      list_transform(range(1, len(toks) - 6),
+                     i -> array_to_string(list_slice(toks, i, i + 7), ' '))
+    ELSE []::VARCHAR[] END) AS g
+  FROM tok
+), bg AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id < 10
+), hit AS (
+  SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM bg)
+)
+SELECT d.doc_id,
+       CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS contaminated
+FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+""")
+
+
 def _pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[PII scrubbing] pii.scrub_pii — email/IPv4/phone redaction with
     per-label counts over documents with deterministically planted PII
@@ -3081,6 +3116,7 @@ _PRIORITY = [
     "compound_word_segment", "canonical_url_dedup",
     "paragraph_dedup_reassembly", "gopher_repetition_signals",
     "gopher_quality_flags", "pii_scrub", "host_quota_sample",
+    "decontamination_flags",
     # longest-unverified next (judge-green r3, driver-green r1 only)
     "dedup_clusters_bounded", "lsh_jaccard_verified", "simhash_doc_hashes",
     "embedding_norms", "cosine_topk_bruteforce", "ann_lsh_buckets",

@@ -906,3 +906,22 @@ def test_host_of_and_host_quota(spark):
     assert sorted(by_host["big.org"]) == [
         f"https://WWW.Big.org:443/p/{i:03d}" for i in range(5)]
     assert by_host["small.org"] == ["https://small.org/x"]
+
+
+def test_decontaminate_remove_and_flag(spark):
+    docs = spark.createDataFrame([
+        (1, "a b c d e f g h i j"),        # contains the benchmark 8-gram
+        (2, "a b c d e f g X i j"),        # one token differs mid-gram
+        (3, "z " * 3 + "a b c d e f g h"), # 8-gram at the tail
+        (4, "short text"),                 # too short for any 8-gram
+    ], "doc_id bigint, text string")
+    bench = spark.createDataFrame(
+        [("q q a b c d e f g h q q",), ("tiny",)], "text string")
+    kept = {r["doc_id"]
+            for r in dedup.decontaminate(docs, bench, n=8).collect()}
+    assert kept == {2, 4}
+    flags = {r["doc_id"]: r["contaminated"] for r in
+             dedup.decontaminate(docs, bench, n=8, mode="flag").collect()}
+    assert flags == {1: 1, 2: 0, 3: 1, 4: 0}
+    with pytest.raises(ValueError):
+        dedup.decontaminate(docs, bench, mode="bogus")

@@ -214,3 +214,18 @@ def test_host_quota_window_free(spark):
         [(f"https://big.org/p/{i}",) for i in range(64)], "url string")
     plan = _explain(urls.host_quota(df, max_per_host=4))
     assert "Window" not in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark gram set must broadcast: the corpus-side gram
+    explosion is filtered in place by a BroadcastHashJoin — a
+    SortMergeJoin here would shuffle every corpus gram at 100 TB."""
+    from webextract import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h i j") for i in range(16)],
+        "doc_id bigint, text string")
+    bench = spark.createDataFrame([("a b c d e f g h",)], "text string")
+    plan = _explain(dedup.decontaminate(docs, bench, n=8), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

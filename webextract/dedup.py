@@ -196,6 +196,47 @@ def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def decontaminate(df: DataFrame, benchmark: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  bench_text_col: str = "text", n: int = 8,
+                  mode: str = "remove") -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM pre-training hygiene
+    op): drop — or flag, with ``mode='flag'`` (adds ``contaminated``
+    int) — every document sharing at least one ``n``-token word n-gram
+    with any benchmark text. Tokens are non-empty whitespace splits;
+    texts shorter than ``n`` tokens contribute no grams (a short
+    benchmark string never matches anything — pad or lower ``n``).
+
+    Scale shape: the benchmark gram set is SMALL (eval suites are
+    thousands of rows) and is broadcast; the corpus grams are exploded
+    and semi-joined against it, so the contaminated-id set is one
+    broadcast-hash-join over the scan with no corpus-side shuffle —
+    then one more broadcast (contaminated ids are few) anti/left joins
+    back. The corpus gram explosion (~tokens/doc rows per doc) never
+    leaves the executor: the broadcast join filters in-place."""
+    if mode not in ("remove", "flag"):
+        raise ValueError(f"mode must be 'remove' or 'flag', got {mode!r}")
+    bench_grams = (
+        shingles(benchmark.select(F.lit(0).alias("_bid"),
+                                  F.col(bench_text_col).alias("text")),
+                 id_col="_bid", text_col="text", n=n)
+        .select("token").distinct()
+    )
+    doc_grams = shingles(df, id_col=id_col, text_col=text_col, n=n)
+    hit_ids = (
+        doc_grams.join(F.broadcast(bench_grams), "token", "left_semi")
+        .select(id_col).distinct()
+    )
+    if mode == "remove":
+        return df.join(F.broadcast(hit_ids), id_col, "left_anti")
+    flagged = hit_ids.withColumn("contaminated", F.lit(1))
+    return (
+        df.join(F.broadcast(flagged), id_col, "left")
+        .withColumn("contaminated",
+                    F.coalesce(F.col("contaminated"), F.lit(0)))
+    )
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n_hashes: int = 4,
                        prefix_len: int = 12,
