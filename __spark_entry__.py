@@ -1746,7 +1746,8 @@ WITH u AS (
   SELECT doc_id, lang, url,
     lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1))
       AS h0,
-    regexp_replace(h0, ':[0-9]+$', '') AS h1,
+    regexp_replace(regexp_replace(h0, '^[^/@]*@', ''), ':[0-9]+$', '')
+      AS h1,
     CASE WHEN starts_with(h1, 'www.') THEN substring(h1, 5) ELSE h1 END
       AS host
   FROM u

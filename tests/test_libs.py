@@ -801,6 +801,7 @@ def test_dedup_paragraphs_first_occurrence_wins(spark):
         (2, "y\nw w"),           # 'y' already owned by doc 1
         (3, "x\ny"),             # loses everything
         (4, ""),                 # no paragraphs at all
+        (9, None),               # NULL text ≡ empty doc, never NULL counts
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     got = {r["doc_id"]: (r["text"], r["n_paras"], r["n_paras_kept"])
@@ -809,6 +810,7 @@ def test_dedup_paragraphs_first_occurrence_wins(spark):
     assert got[2] == ("w w", 2, 1)
     assert got[3] == ("", 2, 0)
     assert got[4] == ("", 0, 0)
+    assert got[9] == ("", 0, 0)
 
 
 def test_dedup_paragraphs_order_and_custom_sep(spark):
@@ -824,7 +826,8 @@ def test_dedup_paragraphs_order_and_custom_sep(spark):
 
 def test_repetition_signals_known_values(spark):
     df = spark.createDataFrame(
-        [(1, "x\ny\nx\nz z z"), (2, "")], "doc_id bigint, text string")
+        [(1, "x\ny\nx\nz z z"), (2, ""), (9, None)],
+        "doc_id bigint, text string")
     out = {r["doc_id"]: r for r in
            textstats.repetition_signals(df, n_top=2, n_dup=2).collect()}
     r1 = out[1]
@@ -836,9 +839,10 @@ def test_repetition_signals_known_values(spark):
     assert r1["top_gram"] == "z z"
     assert r1["top_gram_frac"] == pytest.approx(6 / 15)
     assert r1["dup_gram_frac"] == pytest.approx(6 / 15)
-    r2 = out[2]  # empty doc: all-zero, no nulls
-    assert (r2["n_lines"], r2["top_gram"]) == (0, "")
-    assert r2["dup_line_frac"] == r2["top_gram_frac"] == 0.0
+    for k in (2, 9):  # empty AND null docs: all-zero, never NULL
+        r2 = out[k]
+        assert (r2["n_lines"], r2["top_gram"]) == (0, "")
+        assert r2["dup_line_frac"] == r2["top_gram_frac"] == 0.0
 
 
 def test_gopher_quality_flags_rules(spark):
@@ -890,6 +894,7 @@ def test_host_of_and_host_quota(spark):
     from webextract import urls
     rows = [(f"https://WWW.Big.org:443/p/{i:03d}",) for i in range(30)] + [
         ("https://small.org/x",), ("http://other.net:8080/y",), ("no-scheme",),
+        ("https://alice:pw@Big.org:8443/z",),  # userinfo must not mint a host
     ]
     df = spark.createDataFrame(rows, "url string")
     hosts = {r["url"]: r["h"] for r in
@@ -897,6 +902,7 @@ def test_host_of_and_host_quota(spark):
     assert hosts["https://WWW.Big.org:443/p/000"] == "big.org"
     assert hosts["http://other.net:8080/y"] == "other.net"  # non-default
     assert hosts["no-scheme"] == ""                         # port stripped
+    assert hosts["https://alice:pw@Big.org:8443/z"] == "big.org"
     out = urls.host_quota(df, max_per_host=5).collect()
     by_host = {}
     for r in out:

@@ -38,6 +38,9 @@ FAST_QUERIES = [
     "pii_scrub",
     "paragraph_dedup_reassembly",
     "host_quota_sample",
+    "gopher_repetition_signals",
+    "gopher_quality_flags",
+    "decontamination_flags",
 ]
 
 

@@ -219,7 +219,12 @@ def test_host_quota_window_free(spark):
 def test_decontaminate_broadcasts_benchmark(spark):
     """The benchmark gram set must broadcast: the corpus-side gram
     explosion is filtered in place by a BroadcastHashJoin — a
-    SortMergeJoin here would shuffle every corpus gram at 100 TB."""
+    SortMergeJoin on the GRAM column would shuffle every corpus gram
+    at 100 TB. The id-level anti/left join back is deliberately
+    hint-free (hit_ids is corpus-proportional): the static plan may
+    show a SortMergeJoin there, which AQE converts to broadcast at
+    runtime when the contaminated set is small and keeps as a shuffle
+    join when it is not — the graceful path either way."""
     from webextract import dedup
 
     docs = spark.createDataFrame(
@@ -227,5 +232,5 @@ def test_decontaminate_broadcasts_benchmark(spark):
         "doc_id bigint, text string")
     bench = spark.createDataFrame([("a b c d e f g h",)], "text string")
     plan = _explain(dedup.decontaminate(docs, bench, n=8), "simple")
-    assert "BroadcastHashJoin" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin [token" in plan, plan
+    assert "SortMergeJoin [token" not in plan, plan

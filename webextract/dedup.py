@@ -146,19 +146,22 @@ def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
     (empties never survive the split).
 
     Scale shape (the part that matters at 100 TB): the first-occurrence
-    election shuffles ``md5(paragraph)`` keys — 32 bytes per paragraph
-    occurrence, never the paragraph text — in ONE hash aggregation with
-    map-side partial min; the winner set joins back on the same key
-    (AQE handles residual hot-paragraph skew), and reassembly is one
-    ``collect_list`` per doc, bounded by the doc's own paragraph count.
-    Exactness rests on md5 collision-freedom (standard for exact dedup;
-    the same assumption as ``fingerprints``).
+    ELECTION shuffles only ``md5(paragraph)`` keys + positions (column
+    pruning drops the text from the aggregation subtree) in ONE hash
+    aggregation with map-side partial min. Paragraph text itself still
+    crosses the wire twice — once into the winner join (keyed by md5;
+    AQE handles residual hot-paragraph skew) and once into the per-doc
+    reassembly — which is unavoidable: the output carries the text.
+    The reassembly ``collect_list`` buffer is bounded by the doc's own
+    paragraph count. Exactness rests on md5 collision-freedom
+    (standard for exact dedup; the same assumption as
+    ``fingerprints``). NULL text ≡ empty doc.
 
     Returns one row per input doc: ``(id, text, n_paras,
     n_paras_kept)`` — ``text`` is the deduplicated reassembly (empty
     string when every paragraph was seen earlier)."""
-    import re as _re
-    parts = F.split(F.col(text_col), _re.escape(sep))
+    from .textstats import _lit_re
+    parts = F.split(F.coalesce(F.col(text_col), F.lit("")), _lit_re(sep))
     paras = df.select(
         F.col(id_col), F.posexplode(parts).alias("_pos", "_para")
     ).filter(F.length("_para") >= min_chars)
@@ -216,22 +219,26 @@ def decontaminate(df: DataFrame, benchmark: DataFrame,
     leaves the executor: the broadcast join filters in-place."""
     if mode not in ("remove", "flag"):
         raise ValueError(f"mode must be 'remove' or 'flag', got {mode!r}")
-    bench_grams = (
-        shingles(benchmark.select(F.lit(0).alias("_bid"),
-                                  F.col(bench_text_col).alias("text")),
-                 id_col="_bid", text_col="text", n=n)
-        .select("token").distinct()
-    )
+    # shingles() already returns distinct (id, token) and _bid is a
+    # constant, so the projection is distinct tokens without another agg
+    bench_grams = shingles(
+        benchmark.select(F.lit(0).alias("_bid"),
+                         F.col(bench_text_col).alias("text")),
+        id_col="_bid", text_col="text", n=n).select("token")
     doc_grams = shingles(df, id_col=id_col, text_col=text_col, n=n)
+    # hit_ids carries NO broadcast hint: its size is corpus-proportional
+    # (one row per contaminated doc) — the planner auto-broadcasts when
+    # small and falls back to a shuffle join on a heavily contaminated
+    # corpus instead of OOMing the driver on a forced build side.
     hit_ids = (
         doc_grams.join(F.broadcast(bench_grams), "token", "left_semi")
         .select(id_col).distinct()
     )
     if mode == "remove":
-        return df.join(F.broadcast(hit_ids), id_col, "left_anti")
+        return df.join(hit_ids, id_col, "left_anti")
     flagged = hit_ids.withColumn("contaminated", F.lit(1))
     return (
-        df.join(F.broadcast(flagged), id_col, "left")
+        df.join(flagged, id_col, "left")
         .withColumn("contaminated",
                     F.coalesce(F.col("contaminated"), F.lit(0)))
     )

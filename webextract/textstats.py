@@ -238,8 +238,8 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id",
     positions (overlap-exact coverage needs per-position bookkeeping
     that buys nothing for filtering); both are monotone in repetition.
     """
-    lines = F.filter(F.split(F.col(text_col), _lit_re(line_sep)),
-                     lambda x: x != "")
+    t = F.coalesce(F.col(text_col), F.lit(""))  # NULL text ≡ empty doc
+    lines = F.filter(F.split(t, _lit_re(line_sep)), lambda x: x != "")
     dlines = F.array_distinct(lines)
 
     def _chars(arr: Column) -> Column:
@@ -251,8 +251,7 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id",
     base = df.select(
         F.col(id_col),
         F.filter(
-            F.split(F.replace(F.col(text_col), F.lit(line_sep), F.lit(" ")),
-                    " "),
+            F.split(F.replace(t, F.lit(line_sep), F.lit(" ")), " "),
             lambda x: x != "").alias("_toks"),
         n_lines.alias("n_lines"),
         F.when(n_lines > 0,

@@ -70,13 +70,17 @@ def with_canonical_url(df: DataFrame, url_col: str = "url",
 
 
 def host_of(url: str | Column = "url") -> Column:
-    """Registrable host of a URL: the authority lowercased, port
-    stripped, leading ``www.`` stripped — the grouping key for
-    host-level corpus policies (quotas, skew salting, reputation).
-    Pure codegen string ops; empty string for scheme-less inputs."""
+    """Registrable host of a URL: the authority lowercased, userinfo
+    (``user:pass@``) stripped, port stripped, leading ``www.``
+    stripped — the grouping key for host-level corpus policies
+    (quotas, skew salting, reputation). Userinfo must go first: a
+    quota keyed on the raw authority would let ``x@big.org`` spellings
+    mint unlimited phantom hosts and bypass ``max_per_host``. Pure
+    codegen string ops; empty string for scheme-less inputs."""
     u = F.col(url) if isinstance(url, str) else url
     h = F.lower(F.regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)",
                                  1))
+    h = F.regexp_replace(h, "^[^/@]*@", "")
     h = F.regexp_replace(h, ":[0-9]+$", "")
     return F.when(h.startswith("www."),
                   F.substring(h, 5, F.length(h))).otherwise(h)
