@@ -32,7 +32,13 @@ applicable to any user corpus):
 - ``ann``      — hyperplane-LSH and IVF similarity search, bucketed
   near-dup pairs, exact baselines
 - ``textstats`` — token counts, language ID, quality scores, winnowing
-  fingerprints
+  fingerprints, dictionary word segmentation, Gopher repetition
+  signals + quality-rule flags (round 4)
+- ``pii``      — email/IPv4/phone redaction with per-label counts
+  (round 4)
+- ``urls``     — canonical URL normalization, host extraction,
+  host-level quota sampling (round 4)
+- ``warc``     — raw WARC/1.0 ingestion into the pages table (round 4)
 - ``validate`` — field-warning rows (required/date/numeric/low-conf)
 - ``cache``    — release() for the persisted intermediates library entry
   points track on their results (round 3; long-lived sessions call it
