@@ -88,3 +88,36 @@ def test_profile_subset_consistency(text):
     full = boiler.candidates(blocks)
     strict = boiler.candidates(blocks, ("strict",))
     assert strict == [c for c in full if c["profile"] == "strict"]
+
+
+_PII_ALPHABET = "0123456789@.+- ab<>#_%"  # digits/separators-heavy: the
+                                          # corners where replacement could
+                                          # mint a NEW match
+
+
+def _scrub_py(text):
+    import re
+
+    from webextract.pii import PII_PATTERNS
+    for _, pat, rep in PII_PATTERNS:
+        text = re.sub(pat, rep, text)
+    return text
+
+
+@settings(**COMMON)
+@given(st.text(alphabet=_PII_ALPHABET, max_size=120))
+def test_pii_scrub_idempotent_and_clean(text):
+    """The PII pattern chain is a fixpoint: after one full pass no
+    pattern matches the scrubbed text (placeholders carry no digits or
+    '@', and leftover digit fragments are shorter than the phone
+    minimum), so scrubbing twice equals scrubbing once. Run in pure
+    Python `re` over the SAME PII_PATTERNS the Spark chain compiles —
+    the shared-spec half of the contract (Spark/DuckDB parity is the
+    pii_scrub oracle's job)."""
+    import re
+
+    from webextract.pii import PII_PATTERNS
+    once = _scrub_py(text)
+    for _, pat, _rep in PII_PATTERNS:
+        assert re.search(pat, once) is None, (pat, once)
+    assert _scrub_py(once) == once
