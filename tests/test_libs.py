@@ -931,3 +931,39 @@ def test_decontaminate_remove_and_flag(spark):
     assert flags == {1: 1, 2: 0, 3: 1, 4: 0}
     with pytest.raises(ValueError):
         dedup.decontaminate(docs, bench, mode="bogus")
+
+
+def test_scrub_pii_java_matches_python_re(spark):
+    """Three regex dialects carry the PII spec (Python re in this
+    test, Java regex in the Spark chain, RE2 in the DuckDB oracle).
+    The oracle pins Spark-vs-RE2; this pins Spark(Java)-vs-Python over
+    the adversarial corners (greedy backtracking on dotted digit runs,
+    separators at caps, placeholder adjacency)."""
+    import re
+
+    from webextract import pii
+    cases = [
+        "a@b.cc1.2.3.4",                       # email backtracks off digits
+        "abc@1.2.3.4x.com tail",               # digits-only domain + tld
+        "abc@1.2.3.44",                        # no tld → ip pass takes it
+        "1.2.3.412345678901234",               # ip prefix + 12-digit phone
+        "123456789012345678901234567",         # 27 digits → two phones
+        "+1 555 0199 77 and +84-555-0199-77",  # separators mixed
+        "999.999.999.999",                     # degenerate quad
+        "x@y.zz a@b.c",                        # tld exactly 2 / too short
+        "call 12345678",                       # 8 digits: below phone min
+        "# 1.2.3.4.5.6.7.8 #",                 # overlapping quads
+        ". . . 1 2 3 4 5 6 7 8 9 .",           # spaced digit run
+        "user+tag%x._-@sub.do-main.org!",      # full local-part class
+        "", " ", "@", ".",
+    ]
+    def scrub_py(t):
+        for _, p, r in pii.PII_PATTERNS:
+            t = re.sub(p, r, t)
+        return t
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)],
+                               "doc_id bigint, text string")
+    got = {r["doc_id"]: r["scrubbed_text"]
+           for r in pii.scrub_pii(df).collect()}
+    for i, c in enumerate(cases):
+        assert got[i] == scrub_py(c), (c, got[i], scrub_py(c))
