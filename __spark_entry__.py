@@ -1539,7 +1539,8 @@ def _paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _register("paragraph_dedup_reassembly", _paragraph_dedup, r"""
 WITH d AS (
-  SELECT doc_id, replace(text, ' a ', chr(10)) AS t FROM documents
+  SELECT doc_id, replace(coalesce(text, ''), ' a ', chr(10)) AS t
+  FROM documents
 ), lst AS (
   SELECT doc_id, string_split(t, chr(10)) AS l FROM d
 ), p AS (
@@ -1579,7 +1580,8 @@ def _gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _register("gopher_repetition_signals", _gopher_repetition, r"""
 WITH d AS (
-  SELECT doc_id, replace(text, ' a ', chr(10)) AS t FROM documents
+  SELECT doc_id, replace(coalesce(text, ''), ' a ', chr(10)) AS t
+  FROM documents
 ), base AS (
   SELECT doc_id,
     list_filter(string_split(t, chr(10)), x -> x <> '') AS lines,
@@ -1774,7 +1776,9 @@ def _decontamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("decontamination_flags", _decontamination_flags, r"""
 WITH tok AS (
   SELECT doc_id,
-         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         list_filter(string_split(
+           regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'), ' '),
+           x -> x <> '') AS toks
   FROM documents
 ), grams AS (
   SELECT doc_id, unnest(CASE WHEN len(toks) >= 8 THEN
@@ -1823,7 +1827,7 @@ def _pii_scrub_sql() -> str:
     sql = r"""
 WITH s0 AS (
   SELECT doc_id,
-         text || ' contact user' || cast(doc_id as varchar)
+         coalesce(text, '') || ' contact user' || cast(doc_id as varchar)
               || '@example.com'
               || ' from 10.0.' || cast(doc_id % 256 as varchar) || '.17'
               || CASE WHEN doc_id % 3 = 0
@@ -1834,10 +1838,13 @@ WITH s0 AS (
 )"""
     prev = "s0"
     for i, (label, pat, rep) in enumerate(pii.PII_PATTERNS):
+        # SQL-literal-escape: a future pattern/replacement containing a
+        # single quote must not break (or silently alter) the oracle
+        p, r = pat.replace("'", "''"), rep.replace("'", "''")
         sql += f""", s{i + 1} AS (
   SELECT *,
-    cast(len(regexp_extract_all(t{i}, '{pat}')) as bigint) AS n_{label},
-    regexp_replace(t{i}, '{pat}', '{rep}', 'g') AS t{i + 1}
+    cast(len(regexp_extract_all(t{i}, '{p}')) as bigint) AS n_{label},
+    regexp_replace(t{i}, '{p}', '{r}', 'g') AS t{i + 1}
   FROM {prev}
 )"""
         prev = f"s{i + 1}"

@@ -967,3 +967,38 @@ def test_scrub_pii_java_matches_python_re(spark):
            for r in pii.scrub_pii(df).collect()}
     for i, c in enumerate(cases):
         assert got[i] == scrub_py(c), (c, got[i], scrub_py(c))
+
+
+def test_decontaminate_matches_across_line_breaks(spark):
+    # an 8-gram split by newline/tab in the corpus must still match the
+    # benchmark (whitespace is normalized on both sides)
+    docs = spark.createDataFrame(
+        [(1, "intro\na b c d\te f g h outro"), (2, "clean text here")],
+        "doc_id bigint, text string")
+    bench = spark.createDataFrame([("a b c d e f g h",)], "text string")
+    flags = {r["doc_id"]: r["contaminated"] for r in
+             dedup.decontaminate(docs, bench, n=8, mode="flag").collect()}
+    assert flags == {1: 1, 2: 0}
+
+
+def test_host_quota_exempts_unparseable_urls(spark):
+    from webextract import urls
+    rows = [("relative/path/1",), ("relative/path/2",), ("mailto:x@y.zz",),
+            ("https://h.org/a",), ("https://h.org/b",)]
+    df = spark.createDataFrame(rows, "url string")
+    out = urls.host_quota(df, max_per_host=1).collect()
+    kept = {r["url"] for r in out}
+    # both real-host urls compete for ONE slot; all 3 unparseable pass
+    assert kept == {"relative/path/1", "relative/path/2", "mailto:x@y.zz",
+                    "https://h.org/a"}
+
+
+def test_host_quota_duplicate_urls_count_once(spark):
+    from webextract import urls
+    rows = [("https://h.org/a", 1), ("https://h.org/a", 2),
+            ("https://h.org/b", 3)]
+    df = spark.createDataFrame(rows, "url string, snap int")
+    out = urls.host_quota(df, max_per_host=1).collect()
+    # the duplicate winning url keeps BOTH snapshots; /b loses
+    assert sorted((r["url"], r["snap"]) for r in out) == [
+        ("https://h.org/a", 1), ("https://h.org/a", 2)]

@@ -85,6 +85,21 @@ def distinct_tokens(df: DataFrame, id_col: str = "doc_id",
     return tok.join(F.broadcast(hot), "token", "left_anti")
 
 
+def token_windows(toks: Column, n: int) -> Column:
+    """Array of space-joined ``n``-token windows over a token array —
+    the shared n-gram builder (shingles, repetition_signals,
+    decontaminate). Guard: Spark sequence(1, 0) DESCENDS ([1, 0]) —
+    inputs shorter than ``n`` tokens must yield NO windows, not
+    partial ones."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
              n: int = 3) -> DataFrame:
     """Distinct w-shingles: every window of ``n`` consecutive whitespace
@@ -93,17 +108,8 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     distinct (id, shingle), emitted as ``token`` so the signature/banding
     machinery is shared with the unigram path."""
     toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-    # guard: Spark sequence(1, 0) DESCENDS ([1, 0]) — docs shorter than n
-    # tokens must yield no shingles, not partial ones
-    sh = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     return (
-        df.select(id_col, F.explode(sh).alias("token"))
+        df.select(id_col, F.explode(token_windows(toks, n)).alias("token"))
         .distinct()
     )
 
@@ -206,9 +212,13 @@ def decontaminate(df: DataFrame, benchmark: DataFrame,
     """Benchmark decontamination (the GPT-3/PaLM pre-training hygiene
     op): drop — or flag, with ``mode='flag'`` (adds ``contaminated``
     int) — every document sharing at least one ``n``-token word n-gram
-    with any benchmark text. Tokens are non-empty whitespace splits;
-    texts shorter than ``n`` tokens contribute no grams (a short
-    benchmark string never matches anything — pad or lower ``n``).
+    with any benchmark text. Tokens are non-empty WHITESPACE splits:
+    both sides are normalized with ``regexp_replace('\\s+', ' ')``
+    first, so a benchmark gram spanning a line break or tab in the
+    corpus still matches (``\\s`` is ASCII in both Java regex and RE2,
+    and the oracle mirrors the normalization). Texts shorter than
+    ``n`` tokens contribute no grams (a short benchmark string never
+    matches anything — pad or lower ``n``).
 
     Scale shape: the benchmark gram set is SMALL (eval suites are
     thousands of rows) and is broadcast; the corpus grams are exploded
@@ -219,13 +229,19 @@ def decontaminate(df: DataFrame, benchmark: DataFrame,
     leaves the executor: the broadcast join filters in-place."""
     if mode not in ("remove", "flag"):
         raise ValueError(f"mode must be 'remove' or 'flag', got {mode!r}")
+    def _norm(col: str) -> Column:
+        return F.regexp_replace(F.coalesce(F.col(col), F.lit("")),
+                                r"\s+", " ")
+
     # shingles() already returns distinct (id, token) and _bid is a
     # constant, so the projection is distinct tokens without another agg
     bench_grams = shingles(
         benchmark.select(F.lit(0).alias("_bid"),
-                         F.col(bench_text_col).alias("text")),
+                         _norm(bench_text_col).alias("text")),
         id_col="_bid", text_col="text", n=n).select("token")
-    doc_grams = shingles(df, id_col=id_col, text_col=text_col, n=n)
+    doc_grams = shingles(
+        df.select(id_col, _norm(text_col).alias("text")),
+        id_col=id_col, text_col="text", n=n)
     # hit_ids carries NO broadcast hint: its size is corpus-proportional
     # (one row per contaminated doc) — the planner auto-broadcasts when
     # small and falls back to a shuffle join on a heavily contaminated

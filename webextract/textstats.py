@@ -263,11 +263,8 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id",
     )
 
     def _grams(n: int) -> Column:
-        return F.when(
-            F.size("_toks") >= n,
-            F.transform(F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
-                        lambda i: F.array_join(F.slice("_toks", i, n), " ")),
-        ).otherwise(F.array().cast("array<string>"))
+        from .dedup import token_windows  # shared n-gram window builder
+        return token_windows(F.col("_toks"), n)
 
     # Both n-gram metrics share ONE exploded pass (tagged union) and one
     # aggregation chain — the input subtree is computed twice total

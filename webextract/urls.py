@@ -91,18 +91,33 @@ def host_quota(df: DataFrame, url_col: str = "url",
                host_col: str = "host") -> DataFrame:
     """Host-level quota sampling — keep at most ``max_per_host``
     documents per host, deterministically (the ``max_per_host``
-    lexicographically-smallest URLs win). The Common-Crawl balancing
-    op: without it a handful of mega-hosts dominate the token budget.
+    lexicographically-smallest distinct URLs win). The Common-Crawl
+    balancing op: without it a handful of mega-hosts dominate the
+    token budget. Scheme-less/unparseable URLs (``host_of`` = '') are
+    EXEMPT and pass through unquoted — they share no real host, so
+    pooling them under one '' bucket would silently discard all but
+    ``max_per_host`` of them.
 
-    Scale shape: delegates to ``dedup.cap_buckets`` — a cascade of
-    salted hash aggregations, NOT a per-host window, so a host owning
-    10⁸ pages never routes through a single task's sort and no
-    aggregation buffer scales with host size. Extra columns ride
-    along; adds ``host_col``."""
+    Scale shape: the cap runs on a slim ``(host, url)`` projection
+    via ``dedup.cap_buckets`` — a cascade of salted hash
+    aggregations, NOT a per-host window, so a host owning 10⁸ pages
+    never routes through a single task's sort, and the collect_list
+    buffers hold URL strings, never payload columns (capping the full
+    row would buffer whole documents in one non-spillable
+    aggregation). Winners semi-join back to the full rows — duplicate
+    URLs therefore count ONCE toward the quota and travel together.
+    Extra columns ride along; adds ``host_col``."""
     from .dedup import cap_buckets
     h = df.withColumn(host_col, host_of(url_col))
-    return cap_buckets(h, id_col=url_col, bucket_cap=max_per_host,
-                       key_cols=(host_col,))
+    quotable = h.filter(F.col(host_col) != "")
+    winners = cap_buckets(
+        quotable.select(host_col, url_col).distinct(),
+        id_col=url_col, bucket_cap=max_per_host, key_cols=(host_col,),
+    ).select(url_col)
+    return (
+        quotable.join(winners, url_col, "left_semi")
+        .unionByName(h.filter(F.col(host_col) == ""))
+    )
 
 
 # The DuckDB replay of the same seven steps lives in __spark_entry__
