@@ -1674,12 +1674,14 @@ WITH base AS (
       as bigint) AS wchars,
     cast((length(t) - length(replace(t, '#', ''))) / 1 as bigint)
       + cast((length(t) - length(replace(t, '...', ''))) / 3 as bigint)
+      + cast((length(t) - length(replace(t, '…', ''))) / 1 as bigint)
       AS symbols,
     cast(len(list_filter(lines, x -> starts_with(x, '- ')
                                    OR starts_with(x, '* ')
                                    OR starts_with(x, '• '))) as bigint)
       AS bullet_lines,
-    cast(len(list_filter(lines, x -> ends_with(x, '...'))) as bigint)
+    cast(len(list_filter(lines, x -> ends_with(x, '...')
+                                   OR ends_with(x, '…'))) as bigint)
       AS ellipsis_lines,
     cast(len(list_filter(toks, x -> regexp_matches(x, '\p{L}'))) as bigint)
       AS alpha_words,

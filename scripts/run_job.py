@@ -44,11 +44,17 @@ def main() -> None:
                          "cheap strict-profile pass, full ensemble only "
                          "below --accept. Bare --cascade = the two-pass "
                          "plan; --cascade in_batch escalates per document "
-                         "inside the fused map (row-identical, no pass-1 "
+                         "inside the fused map (row-identical to two_pass "
+                         "for the same --cheap-fields setting, no pass-1 "
                          "cache or second scan — the faster plan when "
                          "pass 2 is this engine's own ensemble)")
     ap.add_argument("--accept", type=float, default=0.7,
                     help="cascade confidence gate (with --cascade)")
+    ap.add_argument("--cheap-fields", action="store_true",
+                    help="cascade pass 1 runs the patterns-only fields arm "
+                         "(accepts only when every required field is "
+                         "pattern-hit); applies to BOTH cascade modes, so "
+                         "they stay row-identical")
     args = ap.parse_args()
 
     # under spark-submit the session already exists; standalone we build one
@@ -85,6 +91,7 @@ def main() -> None:
         cascade=({"two_pass": True, "in_batch": "in_batch"}
                  .get(args.cascade, False)),
         accept=args.accept,
+        cheap_fields=args.cheap_fields,
     )
     n = out.count()
     ok = out.filter(out.status == "COMPLETED").count()

@@ -168,7 +168,9 @@ def test_runner_cascade_in_batch_kill_resume(spark, pages_parquet, tmp_path):
     """run_job(cascade='in_batch'): the r4 in-batch plan under the same
     resume mechanics — a killed run resumes to the same final table,
     which equals both the unchunked in-batch cascade AND the two-pass
-    cascade (row-identical by construction)."""
+    cascade at the SAME cheap_fields setting (defaults aligned at
+    False, r4 advice; the kill/resume half runs cheap_fields=True to
+    pin the run_job plumbing)."""
     from webextract import runner
 
     pages = (spark.read.parquet(pages_parquet).limit(100)
@@ -179,19 +181,22 @@ def test_runner_cascade_in_batch_kill_resume(spark, pages_parquet, tmp_path):
         return sorted((r["url"], r["text"], r["status"], r["confidence"])
                       for r in rows)
 
-    want = final(pipeline.run_extract_cascade(pages, accept=0.7,
-                                              cheap_fields=True))
+    # default-vs-default: the two runner cascade modes share defaults now
+    want = final(pipeline.run_extract_cascade(pages, accept=0.7))
     full = runner.run_job(spark, pages, str(tmp_path / "ibf"),
                           commit_groups=4, cascade="in_batch")
     assert final(full) == want
 
+    want_cheap = final(pipeline.run_extract_cascade(pages, accept=0.7,
+                                                    cheap_fields=True))
     out = str(tmp_path / "ibk")
     partial = runner.run_job(spark, pages, out, commit_groups=4,
-                             max_groups=2, cascade="in_batch")
+                             max_groups=2, cascade="in_batch",
+                             cheap_fields=True)
     assert 0 < partial.count() < 103
     resumed = runner.run_job(spark, pages, out, commit_groups=4,
-                             cascade="in_batch")
-    assert final(resumed) == want
+                             cascade="in_batch", cheap_fields=True)
+    assert final(resumed) == want_cheap
 
 
 def test_cascade_multi_snapshot_urls(spark):

@@ -658,6 +658,21 @@ def test_blas_kernels_total_on_mixed_width_and_empty(spark):
     assert ann.bucketed_topk(empty, k=1, kernel="blas").count() == 0
     cache.release_all()
 
+    # probes > surviving same-width centroids (r4 advice): the width
+    # filter drops deviant centroids, and the probe count must clamp to
+    # the SURVIVORS — pre-fix, np.repeat(ids, p) mismatched
+    # cids[pr].ravel() and the executor raised ValueError
+    cents = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0]), (1, [9.0, 9.0]), (2, [8.0, 8.0])],
+        "cell_id int, cvec array<double>")
+    q = spark.createDataFrame(
+        [(7, [1.0, 2.0, 3.0, 4.0]), (8, [2.0, 2.0, 2.0, 2.0])],
+        "vec_id bigint, embedding array<float>")
+    ranked = ann._assign_ranked_blas(q, cents, "vec_id", "embedding",
+                                     probes=3).collect()
+    assert {(r["vec_id"], r["bucket"], r["_pr"]) for r in ranked} \
+        == {(7, 0, 1), (8, 0, 1)}
+
 
 def test_blas_query_salting_invariant(spark):
     # mega-bucket skew guard: the blas kernel groups by (bucket, salt)
@@ -853,6 +868,11 @@ def test_gopher_quality_flags_rules(spark):
         (2, "short the text"),                      # < 50 words
         (3, good + " " + " ".join(["###"] * 12)),   # symbol-heavy
         (4, "\n".join(["- item the list"] * 60)),   # bullet lines > 0.9
+        # Unicode ellipsis '…' counts exactly like ASCII '...' (Rae 2021
+        # A1 covers both spellings): line-final for the ellipsis gate,
+        # anywhere for the symbol ratio
+        (5, "\n".join(["the words trail off here…"] * 12)),
+        (6, good + " " + " ".join(["…"] * 12)),     # symbol-heavy via '…'
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     got = {r["doc_id"]: r for r in
@@ -864,6 +884,8 @@ def test_gopher_quality_flags_rules(spark):
     assert got[3]["symbol_word_ratio"] > 0.1
     assert got[4]["gopher_pass"] == 0
     assert got[4]["bullet_line_frac"] == 1.0
+    assert got[5]["ellipsis_line_frac"] == 1.0
+    assert got[6]["symbol_word_ratio"] > 0.1 and got[6]["gopher_pass"] == 0
 
 
 def test_scrub_pii_labels_and_order(spark):

@@ -26,6 +26,19 @@ def test_parse_roundtrip_plain_and_gzip(tmp_path):
             == [(u, ts.replace(tzinfo=None), bytes(b)) for u, ts, b in rows]
 
 
+def test_write_warc_none_timestamp_roundtrips_as_epoch(tmp_path):
+    # parse_warc models warc_ts as Optional (None on unparseable
+    # WARC-Date); write_warc must stay total on such rows (r4 advice)
+    rows = [("http://x.test/none", None, b"<html>a</html>")]
+    p = str(tmp_path / "none_ts.warc")
+    warc.write_warc(p, rows)
+    got = list(warc.parse_warc(open(p, "rb").read()))
+    assert len(got) == 1
+    u, ts, b = got[0]
+    assert u == rows[0][0] and bytes(b) == rows[0][2]
+    assert ts is not None and (ts.year, ts.month, ts.day) == (1970, 1, 1)
+
+
 def test_parse_total_on_garbage():
     # arbitrary bytes, truncated archives, and a corrupted middle
     # record must never raise — bad records are skipped, good ones kept

@@ -611,7 +611,10 @@ def _assign_ranked_blas(emb: DataFrame, centroids: DataFrame, id_col: str,
     cell_dt = centroids.schema["cell_id"].dataType.simpleString()
     schema = f"{id_col} {id_dt}, bucket {cell_dt}, _pr int"
     src = _valid(emb, vec_col).select(id_col, vec_col)
-    p = max(1, min(probes, len(rows)))
+    # clamp AFTER the width filter: a mixed-width corpus can drop deviant
+    # centroids above, and probes > len(cids) would make np.repeat (n*p)
+    # mismatch cids[pr].ravel() (n*len(cids)) in the executor
+    p = max(1, min(probes, len(cids)))
 
     def body(it):
         import numpy as np

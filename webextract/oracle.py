@@ -121,7 +121,7 @@ def extract_document(url: str, payload: bytes,
 
 def extract_document_cascade(url: str, payload: bytes, accept: float = 0.7,
                              cheap_profiles: tuple[str, ...] = ("strict",),
-                             cheap_fields: bool = True) -> dict:
+                             cheap_fields: bool = False) -> dict:
     """In-process M12 cascade (r4): the document-level twin of
     pipeline.run_extract_cascade's two-pass plan — cheap pass first;
     a COMPLETED result below the ``accept`` gate is re-extracted with

@@ -226,7 +226,7 @@ def run_extract_cascade_in_batch_full(
         pages: DataFrame, accept: float = 0.7,
         cheap_profiles: tuple[str, ...] = ("strict",),
         n_buckets: int = DEFAULT_BUCKETS, repartition: bool = False,
-        cheap_fields: bool = True) -> DataFrame:
+        cheap_fields: bool = False) -> DataFrame:
     """In-batch cascade keeping the lineage side-band columns (bucket,
     bytes_in, _wall_ms) — the checkpointed runner's variant
     (runner.run_job(cascade='in_batch')). _wall_ms is the cumulative
@@ -245,14 +245,16 @@ def run_extract_cascade_in_batch_full(
 def run_extract_cascade_in_batch(pages: DataFrame, accept: float = 0.7,
                                  cheap_profiles: tuple[str, ...] = ("strict",),
                                  n_buckets: int = DEFAULT_BUCKETS,
-                                 cheap_fields: bool = True) -> DataFrame:
+                                 cheap_fields: bool = False) -> DataFrame:
     """M12 cascade, IN-BATCH plan (r4): the gate/escalation runs per
     document inside the single fused ``mapInPandas`` pass
     (oracle.extract_document_cascade), so the plan is IDENTICAL to the
     fixed path — zero shuffle, no pass-1 cache materialization, no
     second input scan, no merge joins. Output is row-identical to
-    ``run_extract_cascade`` by construction (same per-document decision
-    rule; pinned by tests/test_cascade.py) — this is the cascade shape
+    ``run_extract_cascade`` *for a matching ``cheap_fields`` value*
+    (same per-document decision rule; pinned at both settings by
+    tests/test_cascade.py), and both paths default to
+    ``cheap_fields=False`` — this is the cascade shape
     that actually beats the fixed path on a DOM-dominated corpus
     (BENCH.md r4), and the one to reach for at 100 TB: the two-pass
     plan re-reads escalated payload bytes from the source, which only

@@ -87,6 +87,7 @@ def run_job(
     stage_input: bool = False,
     cascade: bool = False,
     accept: float = 0.7,
+    cheap_fields: bool = False,
 ) -> DataFrame:
     """Run (or resume) the extraction job; returns the full extracted
     table as of the last commit. ``max_groups`` limits how many commit
@@ -101,9 +102,12 @@ def run_job(
     ``accept`` gate) — same resume/lineage mechanics, adaptive cost;
     ``cascade='in_batch'`` uses the r4 in-batch plan
     (pipeline.run_extract_cascade_in_batch_full: per-document
-    escalation inside the fused map — row-identical output, no pass-1
-    cache or second scan per group; the faster choice when pass 2 is
-    this engine's own ensemble rather than an external one).
+    escalation inside the fused map — row-identical to the two-pass
+    mode for a matching ``cheap_fields``, no pass-1 cache or second
+    scan per group; the faster choice when pass 2 is this engine's own
+    ensemble rather than an external one). ``cheap_fields`` is
+    forwarded to BOTH cascade modes (pass 1 patterns-only when True),
+    so the two modes always agree row-for-row.
 
     Concurrency contract: ONE live run_job per ``out_root``. Two
     concurrent runners would both see the same pending buckets and
@@ -160,11 +164,11 @@ def run_job(
             if cascade == "in_batch":
                 extracted = pipeline.run_extract_cascade_in_batch_full(
                     chunk, accept=accept, n_buckets=n_buckets,
-                    repartition=True)
+                    repartition=True, cheap_fields=cheap_fields)
             elif cascade:
                 extracted = pipeline.run_extract_cascade_full(
                     chunk, accept=accept, n_buckets=n_buckets,
-                    repartition=True)
+                    repartition=True, cheap_fields=cheap_fields)
             else:
                 extracted = pipeline.run_extract_full(chunk, n_buckets,
                                                       repartition=True)

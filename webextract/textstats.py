@@ -325,8 +325,10 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text",
                          min_stop_hits: int = 2) -> DataFrame:
     """Gopher quality rules (Rae et al. 2021 Table A1) as pure in-row
     Catalyst — zero shuffle, rides the scan at any corpus size. Adds:
-    ``n_words``, ``mean_word_len``, ``symbol_word_ratio`` ('#' and
-    '...' per word), ``bullet_line_frac``, ``ellipsis_line_frac``,
+    ``n_words``, ``mean_word_len``, ``symbol_word_ratio`` ('#', '...'
+    and the Unicode ellipsis '…' per word — the paper's rule covers
+    both spellings), ``bullet_line_frac``, ``ellipsis_line_frac``
+    (lines ending '...' or '…'),
     ``alpha_word_frac`` (words containing a letter — unicode ``\\p{L}``,
     identical in Java regex and RE2), ``stop_hits`` (English stopword
     occurrences), and ``gopher_pass`` (1 iff every rule passes, int for
@@ -347,7 +349,7 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text",
         return ((F.length(t) - F.length(F.replace(t, F.lit(sub), F.lit(""))))
                 / len(sub)).cast("bigint")
 
-    symbols = _count("#") + _count("...")
+    symbols = _count("#") + _count("...") + _count("…")
     sym_ratio = F.when(n_words > 0,
                        symbols.cast("double") / n_words).otherwise(0.0)
     def _is_bullet(x: Column) -> Column:
@@ -362,7 +364,8 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text",
     ).otherwise(0.0)
     ellipsis = F.when(
         n_lines > 0,
-        F.size(F.filter(lines, lambda x: x.endswith("..."))).cast("double")
+        F.size(F.filter(lines, lambda x: x.endswith("...")
+                        | x.endswith("…"))).cast("double")
         / n_lines).otherwise(0.0)
     alpha = F.when(
         n_words > 0,

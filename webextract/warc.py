@@ -140,7 +140,9 @@ def write_warc(path: str, rows, gzip_members: bool = False) -> None:
     """Write (url, warc_ts, payload) rows as a WARC/1.0 archive of
     ``response`` records with an HTTP envelope — the test/fixture
     writer (Common Crawl member-per-record compression when
-    ``gzip_members``)."""
+    ``gzip_members``). A None timestamp (parse_warc's value for an
+    unparseable WARC-Date) round-trips as the Unix epoch, so
+    write_warc(read_warc(...)) is total."""
     out = []
     for url, ts, payload in rows:
         http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
@@ -150,7 +152,8 @@ def write_warc(path: str, rows, gzip_members: bool = False) -> None:
                b"WARC-Type: response\r\n"
                b"WARC-Target-URI: " + url.encode() + b"\r\n"
                b"WARC-Date: " +
-               ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode() + b"\r\n"
+               (ts.strftime("%Y-%m-%dT%H:%M:%SZ") if ts is not None
+                else "1970-01-01T00:00:00Z").encode() + b"\r\n"
                b"Content-Type: application/http; msgtype=response\r\n"
                b"Content-Length: " + str(len(http)).encode() +
                b"\r\n\r\n" + http + b"\r\n\r\n")
