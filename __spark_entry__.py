@@ -814,11 +814,147 @@ SELECT url, 2 AS n_pages, 1 AS page,
 FROM pdfpages WHERE NOT broken
 """)
 
+# scanned-document classification (VERDICT r4 #1): a fixed ASCII
+# image-only PDF (2 pages, image XObject, zero text runs) synthesizable
+# as a Catalyst literal — oracle.parse_candidates classifies it
+# status=NEEDS_OCR / 'pdf-raster' and keeps the page count
+_SCANNED_PDF_TPL = (
+    "%PDF-1.4\n"
+    "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+    "2 0 obj\n<< /Type /Pages /Kids [4 0 R 5 0 R] /Count 2 >>\nendobj\n"
+    "3 0 obj\n<< /Type /XObject /Subtype /Image /Width 8 /Height 8 "
+    "/BitsPerComponent 8 /ColorSpace /DeviceGray /Length 4 >>\n"
+    "stream\nIMGB\nendstream\nendobj\n"
+    "6 0 obj\n<< /Length 27 >>\nstream\nq 8 0 0 8 0 0 cm /Im0 Do Q\n"
+    "endstream\nendobj\n"
+    "4 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+    "/Resources << /XObject << /Im0 3 0 R >> >> /Contents 6 0 R >>\nendobj\n"
+    "5 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+    "/Resources << /XObject << /Im0 3 0 R >> >> /Contents 6 0 R >>\nendobj\n"
+    "trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+)
+
+
+def _payload_kind_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S1, C2, NEEDS_OCR taxonomy] full-pipeline payload classification
+    census over a synthesized media-mix corpus (HTML + raw JPEG/PNG
+    bodies + scanned image-only PDFs, pure function of doc_id): raster
+    payloads must come out status=NEEDS_OCR with the sniffed format in
+    ``error`` and scanned PDFs keep their real page count — the honest
+    handling of the reference's core OCR input class
+    (ocr_service_advanced.py:360-428) instead of empty-text COMPLETED."""
+    _prep(spark)
+    from webextract import pipeline
+    pipeline.ship_package(spark)
+    docs = _t(spark, sf_dir, "documents")
+    m = F.pmod(F.col("doc_id"), F.lit(11))
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    html = F.concat(F.lit("<html><body><article><p>"), txt,
+                    F.lit("</p></article></body></html>"))
+    payload = (
+        F.when(m == 3, F.concat(F.unhex(F.lit("FFD8FFE0")),
+                                F.encode(txt, "utf-8")))
+        .when(m == 4, F.concat(F.unhex(F.lit("89504E47")),
+                               F.encode(txt, "utf-8")))
+        .when(m.isin(5, 6), F.encode(F.lit(_SCANNED_PDF_TPL), "utf-8"))
+        .otherwise(F.encode(html, "utf-8")))
+    pages = docs.select(
+        F.concat(F.lit(_SYN_PREFIX), F.lit("media/"),
+                 F.col("doc_id").cast("string"), F.lit(".bin")).alias("url"),
+        F.lit(dt.datetime(2024, 3, 1,
+                          tzinfo=dt.timezone.utc)).alias("warc_ts"),
+        payload.alias("html"), txt.alias("text"), F.lit("und").alias("lang"))
+    ext = pipeline.run_extract(pages, n_buckets=16)
+    kind = (
+        F.when(F.col("status") == "NEEDS_OCR", F.expr("substring(error, 12)"))
+        .when(F.col("status") == "FAILED", F.lit("failed"))
+        .otherwise(F.lit("text")))
+    return (ext.groupBy("status", kind.alias("payload_kind"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_pages").cast("bigint").alias("total_pages")))
+
+
+_register("payload_kind_census", _payload_kind_census, """
+WITH k AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 11 = 3 THEN 'image/jpeg'
+         WHEN doc_id % 11 = 4 THEN 'image/png'
+         WHEN doc_id % 11 IN (5, 6) THEN 'pdf-raster'
+         ELSE 'text' END AS payload_kind
+  FROM documents)
+SELECT CASE WHEN payload_kind = 'text' THEN 'COMPLETED'
+            ELSE 'NEEDS_OCR' END AS status,
+       payload_kind,
+       cast(count(*) as bigint) AS n_docs,
+       cast(sum(CASE WHEN payload_kind = 'pdf-raster' THEN 2
+                     WHEN payload_kind = 'text' THEN 1
+                     ELSE 0 END) as bigint) AS total_pages
+FROM k GROUP BY 1, 2
+""")
+
+
+def _lineage_run_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[C5/C7/D1 — the job 'health endpoint'] run the checkpointed
+    runner (runner.run_job) over the synthesized corpus, then aggregate
+    its per-bucket lineage table the way the reference's statistics
+    endpoint aggregates per-document state (document_service.py:217-251,
+    routes.py:27-62) — partitions seen, inputs, ok/fail counts, and a
+    wall-time sanity bit. Deterministic projection only: per-bucket
+    wall_ms/finished_at are real but machine-dependent, so the summary
+    pins their SHAPE (non-negative everywhere), not their values."""
+    _prep(spark)
+    import shutil
+    import tempfile
+
+    from webextract import pipeline, runner
+    from webextract.checkpoint import Catalog
+    pipeline.ship_package(spark)
+    pages = _pages_from_documents(spark, sf_dir)
+    out_root = tempfile.mkdtemp(prefix="webextract_lineage_census_")
+    try:
+        runner.run_job(spark, pages, out_root, run_id="r05-health",
+                       n_buckets=16, commit_groups=4)
+        lin = Catalog(out_root).read(spark, runner.LINEAGE_TABLE)
+        rows = (
+            lin.groupBy("run_id", "stage")
+            .agg(F.countDistinct("partition_id").cast("bigint")
+                 .alias("n_partitions"),
+                 F.sum("input_count").cast("bigint").alias("input_total"),
+                 F.sum("ok_count").cast("bigint").alias("ok_total"),
+                 F.sum("fail_count").cast("bigint").alias("fail_total"),
+                 F.every(F.col("wall_ms") >= 0).alias("wall_sane"))
+        ).collect()
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "run_id string, stage string, n_partitions bigint, "
+              "input_total bigint, ok_total bigint, fail_total bigint, "
+              "wall_sane boolean")
+
+
+# 500 urls over 16 xxhash64 buckets leave a bucket empty with
+# P ≈ 16·(15/16)^500 < 1e-13, so n_partitions pins to 16; ok/fail
+# replay the synthesized corpus's only failure rule (every 23rd doc is
+# a broken payload — _pages_from_documents)
+_register("lineage_run_summary", _lineage_run_summary, """
+SELECT 'r05-health' AS run_id, 'final' AS stage,
+       cast(16 as bigint) AS n_partitions,
+       cast(count(*) as bigint) AS input_total,
+       cast(sum(CASE WHEN doc_id % 23 <> 0 THEN 1 ELSE 0 END) as bigint)
+         AS ok_total,
+       cast(sum(CASE WHEN doc_id % 23 = 0 THEN 1 ELSE 0 END) as bigint)
+         AS fail_total,
+       true AS wall_sane
+FROM documents
+""")
+
+
 # decode-stub oracle: the stub kernel (w/h/frames from first/last byte +
 # length, multimodal._decode_one) is SQL-expressible by decoding bytes
 # from hex(encode(text)). PNG/JPEG magics can never match UTF-8-encoded
-# text (0x89/0xFF cannot start a UTF-8 sequence), so the sniff reduces to
-# the ASCII prefixes.
+# text (0x89/0xFF cannot start a UTF-8 sequence) and the TIFF magics
+# embed NUL bytes (absent from the generated documents text), so the
+# sniff reduces to the ASCII prefixes %PDF / RIFF / GIF8.
 _B0 = f"((instr({_HD}, substr(h, 1, 1)) - 1) * 16 + instr({_HD}, substr(h, 2, 1)) - 1)"
 _BL = (f"((instr({_HD}, substr(h, length(h) - 1, 1)) - 1) * 16"
        f" + instr({_HD}, substr(h, length(h), 1)) - 1)")
@@ -831,6 +967,7 @@ WITH b AS (
 SELECT doc_id, source, cast(n as bigint) AS n_bytes,
        CASE WHEN starts_with(text, '%PDF') THEN 'pdf'
             WHEN starts_with(text, 'RIFF') THEN 'riff'
+            WHEN starts_with(text, 'GIF8') THEN 'gif'
             ELSE 'raw' END AS format,
        cast(CASE WHEN n = 0 THEN 0 ELSE 64 + ({_B0} * 31 + n) % 1024 END as int) AS width,
        cast(CASE WHEN n = 0 THEN 0 ELSE 64 + ({_BL} * 17 + n // 2) % 1024 END as int) AS height,
@@ -1816,6 +1953,17 @@ def _pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.concat(F.lit(" call +1 555 0199 "),
                             F.lpad((k % 100).cast("string"), 2, "0")))
             .otherwise(F.lit("")),
+            # adversarial full-run shapes (r4 advice): 20-digit run must
+            # be ONE <PHONE> with no tail; 5-octet string ONE <IP>
+            F.when(k % 5 == 0,
+                   F.concat(F.lit(" acct "),
+                            F.lpad(k.cast("string"), 20, "7"),
+                            F.lit(" end")))
+            .otherwise(F.lit("")),
+            F.when(k % 7 == 0,
+                   F.concat(F.lit(" net 1.2.3."),
+                            (k % 9).cast("string"), F.lit(".5 out")))
+            .otherwise(F.lit("")),
         ).alias("text"))
     return pii.scrub_pii(d).select(
         "doc_id", "n_email", "n_ip", "n_phone", "scrubbed_text")
@@ -1835,6 +1983,14 @@ WITH s0 AS (
               || CASE WHEN doc_id % 3 = 0
                       THEN ' call +1 555 0199 '
                            || lpad(cast(doc_id % 100 as varchar), 2, '0')
+                      ELSE '' END
+              || CASE WHEN doc_id % 5 = 0
+                      THEN ' acct ' || lpad(cast(doc_id as varchar), 20, '7')
+                           || ' end'
+                      ELSE '' END
+              || CASE WHEN doc_id % 7 = 0
+                      THEN ' net 1.2.3.' || cast(doc_id % 9 as varchar)
+                           || '.5 out'
                       ELSE '' END AS t0
   FROM documents
 )"""
@@ -3120,6 +3276,7 @@ _register("ann_recall_at_k", _ann_recall_at_k, _ann_recall_sql())
 # fold queries' SQL — the kernels are row-identical by contract).
 _PRIORITY = [
     # new/changed this round — never driver-verified in this form
+    "payload_kind_census",
     "extract_flagship", "extract_pdf_pages", "ann_recall_at_k",
     "ann_lsh_topk_blas", "ann_ivf_topk_blas",
     "embedding_near_dup_bucketed_blas", "extract_cascade_in_batch_oracled",

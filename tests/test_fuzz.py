@@ -33,9 +33,11 @@ def test_oracle_total_on_mutants():
     n = 0
     for url, payload in _mutants():
         rec = oracle.extract_document(url, payload)
-        assert rec["status"] in ("COMPLETED", "FAILED")
+        # mutants of scanned/image fixture payloads legitimately stay
+        # (or become) NEEDS_OCR — the full status taxonomy, nothing else
+        assert rec["status"] in ("COMPLETED", "FAILED", "NEEDS_OCR")
         assert isinstance(rec["text"], str)
-        if rec["status"] == "FAILED":
+        if rec["status"] != "COMPLETED":
             assert rec["error"]
         n += 1
     assert n == N_BASE * 4

@@ -80,6 +80,38 @@ def test_staged_path_matches_fused(spark, pages_parquet, goldens):
         assert _blocks_key(got["blocks"]) == _blocks_key(want["blocks"]), url
         assert got["status"] == want["status"]
         assert got["confidence"] == want["confidence"]
+        # the NEEDS_OCR error metadata is synthesized in Catalyst on this
+        # path (stage_assemble) — must match the fused path byte-for-byte
+        assert (got["error"] or None) == (want["error"] or None), url
+
+
+def test_needs_ocr_status_taxonomy(goldens):
+    """Raster-only inputs are CLASSIFIED, not failed (VERDICT r4 #1):
+    scanned (image-only) PDFs and raw image payloads → status=NEEDS_OCR,
+    empty text, zero spans, format metadata in error; scanned PDFs keep
+    their real page count. The taxonomy is pinned against the committed
+    goldens so drift fails loudly."""
+    seen = {"scanned": 0, "image": 0}
+    for i, (url, _ts, _p, _t, _l) in enumerate(fixtures.gen_pages(N_GOLDEN)):
+        kind = fixtures._doc_kind(i)
+        if kind not in seen:
+            continue
+        seen[kind] += 1
+        g = goldens[url]
+        assert g["status"] == oracle.STATUS_NEEDS_OCR, url
+        assert g["text"] == "" and not g["spans"] and not g["blocks"], url
+        assert g["confidence"] == 0.0, url
+        if kind == "scanned":
+            assert g["error"] == "needs_ocr: pdf-raster", url
+            assert g["n_pages"] >= 1, url  # real page count preserved
+        else:
+            assert g["error"] in ("needs_ocr: image/jpeg",
+                                  "needs_ocr: image/png"), url
+            assert g["n_pages"] == 0, url
+    assert seen["scanned"] > 0 and seen["image"] > 0
+    # statuses present in the golden corpus = the full taxonomy
+    statuses = {r["status"] for r in goldens.values()}
+    assert statuses == {"COMPLETED", "FAILED", "NEEDS_OCR"}
 
 
 def test_permutation_invariance(spark, pages_parquet, goldens):

@@ -896,6 +896,11 @@ def test_scrub_pii_labels_and_order(spark):
         (3, "call +1 555 0199 77 or 123456789"),
         (4, "digits inside user123@ex.com stay email, not phone"),
         (5, None),
+        # full-run redaction (r4 advice): a 20-digit run is ONE phone
+        # with no digit tail; a 5-octet dotted string is ONE ip with no
+        # '.5' tail, and a 4th-octet digit tail is swallowed too
+        (6, "acct 12345678901234567890 end"),
+        (7, "ips 1.2.3.4.5 then 10.0.0.45678 done"),
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     got = {r["doc_id"]: r for r in pii.scrub_pii(df).collect()}
@@ -910,6 +915,10 @@ def test_scrub_pii_labels_and_order(spark):
     # its digits never count as a phone
     assert (got[4]["n_email"], got[4]["n_phone"]) == (1, 0)
     assert got[5]["scrubbed_text"] == ""  # null-safe
+    assert got[6]["scrubbed_text"] == "acct <PHONE> end"
+    assert got[6]["n_phone"] == 1
+    assert got[7]["scrubbed_text"] == "ips <IP> then <IP> done"
+    assert got[7]["n_ip"] == 2
 
 
 def test_host_of_and_host_quota(spark):
@@ -968,15 +977,18 @@ def test_scrub_pii_java_matches_python_re(spark):
         "a@b.cc1.2.3.4",                       # email backtracks off digits
         "abc@1.2.3.4x.com tail",               # digits-only domain + tld
         "abc@1.2.3.44",                        # no tld → ip pass takes it
-        "1.2.3.412345678901234",               # ip prefix + 12-digit phone
-        "123456789012345678901234567",         # 27 digits → two phones
+        "1.2.3.412345678901234",               # whole dotted run → one ip
+        "123456789012345678901234567",         # 27 digits → ONE phone (full run)
         "+1 555 0199 77 and +84-555-0199-77",  # separators mixed
         "999.999.999.999",                     # degenerate quad
         "x@y.zz a@b.c",                        # tld exactly 2 / too short
         "call 12345678",                       # 8 digits: below phone min
-        "# 1.2.3.4.5.6.7.8 #",                 # overlapping quads
+        "# 1.2.3.4.5.6.7.8 #",                 # 8 octets → one full-run ip
         ". . . 1 2 3 4 5 6 7 8 9 .",           # spaced digit run
         "user+tag%x._-@sub.do-main.org!",      # full local-part class
+        "12345678901234567890",                # 20-digit run, no tail (r4)
+        "a 1.2.3.4.5 b",                       # 5 octets, no '.5' tail (r4)
+        "1234.5.6.7",                          # documented residual: '1<IP>'
         "", " ", "@", ".",
     ]
     def scrub_py(t):

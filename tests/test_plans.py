@@ -191,6 +191,21 @@ def test_gopher_flags_zero_exchange(spark):
     assert "pythonudf" not in plan.lower(), plan
 
 
+def test_repetition_signals_plan_shape(spark):
+    """repetition_signals: two hash aggregations, no Window, and the
+    dup-gram arm ships an xxhash64 fingerprint instead of the gram text
+    (VERDICT r4 #2 — the gram-string shuffle halving). Exchange count
+    pinned so the fingerprint change can never silently add a shuffle."""
+    from webextract import textstats
+
+    df = spark.createDataFrame(
+        [(i, "a b c a b c") for i in range(8)], "doc_id bigint, text string")
+    plan = _explain(textstats.repetition_signals(df))
+    assert "Window" not in plan, plan
+    assert "xxhash64" in plan.lower(), plan
+    assert plan.count("Exchange") <= 6, plan
+
+
 def test_dedup_paragraphs_window_free(spark):
     """Paragraph dedup's first-occurrence election is a hash aggregation
     (map-side partial min), never a per-paragraph window sort, and the

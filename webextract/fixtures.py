@@ -8,10 +8,13 @@ its canned mock document, ocr_service_mock.py:26-35).
 Output schema = BASELINE.json input_hint (authoritative):
 (url:string, warc_ts:timestamp, html:binary, text:string, lang:string).
 
-Mix: ~80% HTML (boilerplate nav/footer/ads + main article with planted
+Mix: ~76% HTML (boilerplate nav/footer/ads + main article with planted
 Vietnamese field sentences), ~20% PDF (1-3 pages, 1-2 columns, half
-FlateDecode), ~1% malformed payloads (error path). Hosts Zipf-skewed:
-host 0 owns ~30% of rows (skew test, SURVEY.md §5.2#4).
+FlateDecode), ~2% scanned (image-only) PDFs and ~2% raw image payloads
+(the NEEDS_OCR classes — the reference's core OCR input,
+test_handwriting.py:15-76 generates exactly these), ~1% malformed
+payloads (error path). Hosts Zipf-skewed: host 0 owns ~30% of rows
+(skew test, SURVEY.md §5.2#4).
 """
 
 from __future__ import annotations
@@ -31,7 +34,7 @@ VOCAB = (
 HOSTS = ["archive%02d.example.org" % i for i in range(40)]
 EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
 # bump when generated content changes: cache keys (bench corpus) include it
-CONTENT_VERSION = 2
+CONTENT_VERSION = 3
 
 
 def mix(i: int, salt: int = 0) -> int:
@@ -59,6 +62,12 @@ def _doc_kind(i: int) -> str:
         return "broken"
     if r < 21:
         return "pdf"
+    # NEEDS_OCR classes carved from the html range so broken/pdf doc
+    # assignments are stable across CONTENT_VERSION 2→3
+    if r < 23:
+        return "scanned"
+    if r < 25:
+        return "image"
     return "html"
 
 
@@ -260,6 +269,64 @@ def gen_pdf(i: int) -> bytes:
     return bytes(out)
 
 
+def gen_scanned_pdf(i: int) -> bytes:
+    """Image-only PDF (scanned document): structurally valid pages whose
+    content streams draw image XObjects and carry ZERO text runs — the
+    reference's core OCR input class (it rasterizes + OCRs these,
+    ocr_service.py:41-54). pdfrun parses the page tree fine and yields
+    empty page texts; the pipeline classifies the document
+    status=NEEDS_OCR (oracle.parse_candidates pdf-raster arm)."""
+    r = mix(i, 99)
+    n_pages = 1 + r % 3
+    objs: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    cat = add(b"<< /Type /Catalog /Pages 2 0 R >>")
+    pages_id = add(b"placeholder")
+    # deterministic fake raster bytes: the parser never decodes image
+    # streams (they are not page /Contents), so ASCII filler suffices
+    fake = bytes(32 + mix(i, 100 + k) % 95 for k in range(64 + r % 128))
+    img = add(
+        b"<< /Type /XObject /Subtype /Image /Width 612 /Height 792 "
+        b"/BitsPerComponent 8 /ColorSpace /DeviceRGB /Length %d >>\n"
+        b"stream\n%s\nendstream" % (len(fake), fake)
+    )
+    kids = []
+    for _p in range(n_pages):
+        stream = b"q 612 0 0 792 0 0 cm /Im0 Do Q"
+        cid = add(b"<< /Length %d >>\nstream\n%s\nendstream"
+                  % (len(stream), stream))
+        pid = add(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /XObject << /Im0 %d 0 R >> >> "
+            b"/Contents %d 0 R >>" % (img, cid)
+        )
+        kids.append(pid)
+    objs[pages_id - 1] = (
+        b"<< /Type /Pages /Kids [" + b" ".join(b"%d 0 R" % k for k in kids)
+        + b"] /Count %d >>" % n_pages
+    )
+    out = bytearray(b"%PDF-1.4\n")
+    for oid, body in enumerate(objs, start=1):
+        out += b"%d 0 obj\n" % oid + body + b"\nendobj\n"
+    out += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
+def gen_image(i: int) -> bytes:
+    """Raw raster payload (JPEG or PNG magic + deterministic filler) —
+    a crawl response whose body is an image, not markup. The pipeline
+    classifies it status=NEEDS_OCR with the sniffed format."""
+    r = mix(i, 101)
+    body = bytes(mix(i, 102 + k) % 256 for k in range(256 + r % 512))
+    if r % 2:
+        return b"\xff\xd8\xff\xe0\x00\x10JFIF\x00" + body + b"\xff\xd9"
+    return b"\x89PNG\r\n\x1a\n" + body
+
+
 def gen_broken(i: int) -> bytes:
     r = mix(i, 95)
     if r % 2:
@@ -272,13 +339,18 @@ def gen_page(i: int) -> tuple[str, dt.datetime, bytes, str, str]:
     kind = _doc_kind(i)
     prefix = _prefix(i)
     host = _host(i)
-    ext = "pdf" if kind in ("pdf", "broken") else "html"
+    ext = {"pdf": "pdf", "broken": "pdf", "scanned": "pdf",
+           "image": "jpg"}.get(kind, "html")
     url = f"https://{host}/docs/{prefix}_{i:08d}.{ext}"
     ts = EPOCH + dt.timedelta(seconds=int(mix(i, 96) % (365 * 86400)))
     if kind == "pdf":
         payload = gen_pdf(i)
     elif kind == "broken":
         payload = gen_broken(i)
+    elif kind == "scanned":
+        payload = gen_scanned_pdf(i)
+    elif kind == "image":
+        payload = gen_image(i)
     else:
         payload = gen_html(i, prefix)
     noisy = words(i, 97, 30)  # raw-ish snapshot; pipeline must ignore it

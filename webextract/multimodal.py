@@ -27,12 +27,12 @@ DECODED_SCHEMA = (
     "width int, height int, n_frames int, decode_error string"
 )
 
-_MAGIC = {
-    b"\x89PNG": "png",
-    b"\xff\xd8\xff": "jpeg",
-    b"RIFF": "riff",
-    b"%PDF": "pdf",
-}
+# magic table shared with the extraction pipeline's payload sniffer
+# (oracle.sniff_kind classifies raster payloads as NEEDS_OCR from the
+# same prefixes), plus PDF for media census use
+from .oracle import MEDIA_MAGICS as _MEDIA_MAGICS  # noqa: E402
+
+_MAGIC = {**_MEDIA_MAGICS, b"%PDF": "pdf"}
 
 
 def _sniff_format(payload: bytes) -> str:

@@ -19,14 +19,41 @@ from .pdfrun import extract_pdf
 
 STATUS_COMPLETED = "COMPLETED"
 STATUS_FAILED = "FAILED"
+# Raster-only input (scanned page / raw image): structurally valid but
+# carries no extractable text runs. The reference's core competence is
+# OCR-ing exactly these (ocr_service_advanced.py:360-428 hybrid_ocr);
+# this engine is deterministic-parse-only by mandate, so instead of an
+# empty-text COMPLETED or an opaque FAILED it CLASSIFIES the document —
+# status=NEEDS_OCR with the sniffed format in ``error``
+# ("needs_ocr: image/jpeg", "needs_ocr: pdf-raster") — the honest
+# routing row a downstream OCR stage would consume (VERDICT r4 #1).
+STATUS_NEEDS_OCR = "NEEDS_OCR"
 
 PDF_MAGIC = b"%PDF-"
+
+# magic-byte table shared with the multimodal sniffer
+# (multimodal._sniff_format builds its table from this one)
+MEDIA_MAGICS: dict[bytes, str] = {
+    b"\x89PNG": "png",
+    b"\xff\xd8\xff": "jpeg",
+    b"GIF8": "gif",
+    b"RIFF": "riff",
+    b"II*\x00": "tiff",
+    b"MM\x00*": "tiff",
+}
 
 
 def sniff_kind(payload: bytes) -> str:
     """Payload sniff (the reference keys on filename extension,
-    document_service.py:58; we key on magic bytes like its PDF check)."""
-    return "pdf" if payload[:5] == PDF_MAGIC else "html"
+    document_service.py:58; we key on magic bytes like its PDF check).
+    Returns "pdf", "image/<fmt>" (raw raster payload — the NEEDS_OCR
+    input class), or "html" (the permissive default: tag soup parses)."""
+    if payload[:5] == PDF_MAGIC:
+        return "pdf"
+    for magic, name in MEDIA_MAGICS.items():
+        if payload[: len(magic)] == magic:
+            return f"image/{name}"
+    return "html"
 
 
 def parse_candidates(payload: bytes,
@@ -48,9 +75,20 @@ def parse_candidates(payload: bytes,
             "error": f"payload too large: {len(payload)} > {MAX_PAYLOAD_BYTES}",
         }
     kind = sniff_kind(payload)
+    if kind.startswith("image/"):
+        # raw raster payload: nothing to parse deterministically —
+        # classify for a downstream OCR stage (status=NEEDS_OCR)
+        return {"kind": kind, "n_pages": 0, "candidates": [], "error": None}
     try:
         if kind == "pdf":
             pages = extract_pdf(payload)
+            if pages and all(p == "" for p in pages) and b"/Image" in payload:
+                # structurally-valid PDF whose pages carry images but ZERO
+                # text runs — a scanned document (the reference rasterizes
+                # + OCRs these, ocr_service.py:41-54): classify, keep the
+                # real page count as metadata
+                return {"kind": "pdf-raster", "n_pages": len(pages),
+                        "candidates": [], "error": None}
             text = "\n\n".join(p for p in pages if p)  # F2: skip empty pages
             blocks = [
                 {"page": i, "score": 1.0, "n_chars": len(p)} for i, p in enumerate(pages)
@@ -101,6 +139,21 @@ def extract_document(url: str, payload: bytes,
             "confidence": 0.0,
             "n_pages": 0,
             "error": parsed["error"],
+        }
+    kind = parsed["kind"]
+    if kind == "pdf-raster" or kind.startswith("image/"):
+        # raster-only document: classified, not failed — error carries
+        # the sniffed format as routing metadata for an OCR stage
+        return {
+            "url": url,
+            "doc_type": doc_type,
+            "status": STATUS_NEEDS_OCR,
+            "text": "",
+            "spans": [],
+            "blocks": [],
+            "confidence": 0.0,
+            "n_pages": parsed["n_pages"],
+            "error": f"needs_ocr: {kind}",
         }
     best = best_candidate(parsed["candidates"])
     text = best["text"] if best else ""

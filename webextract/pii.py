@@ -26,18 +26,29 @@ from pyspark.sql import DataFrame
 
 # (label, pattern, replacement) — order is part of the spec: emails
 # first (their digit runs must not feed the phone pattern), then IPv4
-# (dotted quads are too short for the phone pattern, but the order
-# makes that independence explicit), then phone-like digit runs
-# (9-14 digits, single space/dot/dash separators allowed).
+# (dotted runs are consumed whole before the phone pattern sees their
+# digits), then phone-like digit runs.
+#
+# Boundary discipline (r4 verdict): both digit patterns redact FULL
+# runs, never a prefix — lookaround-free (RE2 has none), relying on
+# leftmost-match + greedy semantics instead:
+# - ip: `{2,}` middle octets + unbounded final digit group swallow a
+#   5-octet string or a digit tail whole ("1.2.3.4.5" and "1.2.3.45678"
+#   are each ONE <IP>, never "<IP>.5"). Known residual (documented, not
+#   an IPv4 shape): a LEADING group longer than 3 digits matches from
+#   its last 3 digits ("1234.5.6.7" → "1<IP>").
+# - phone: `{8,}` (9+ digits, single space/dot/dash separators) —
+#   a 20-digit run is one <PHONE>, no digit tail; a leftmost scan
+#   cannot start mid-run, and greed cannot stop mid-run.
 PII_PATTERNS = [
     ("email",
      r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
      "<EMAIL>"),
     ("ip",
-     r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+     r"[0-9]{1,3}(?:\.[0-9]{1,3}){2,}\.[0-9]+",
      "<IP>"),
     ("phone",
-     r"\+?[0-9](?:[ .-]?[0-9]){8,13}",
+     r"\+?[0-9](?:[ .-]?[0-9]){8,}",
      "<PHONE>"),
 ]
 

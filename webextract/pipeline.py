@@ -140,21 +140,31 @@ def stage_parse(pages: DataFrame, n_buckets: int = DEFAULT_BUCKETS,
 def stage_assemble(parsed: DataFrame) -> DataFrame:
     """Stage 2 (pure Catalyst): best-of-candidates argmax O3/D5 with
     first-wins ties — IF(c.score > acc.score) keeps the earlier profile on
-    ties, exactly like oracle.best_candidate."""
+    ties, exactly like oracle.best_candidate. Raster-only documents
+    (parse kind 'pdf-raster' / 'image/<fmt>') become status=NEEDS_OCR
+    with the format stamped into ``error`` — byte-identical to the fused
+    path's oracle.extract_document."""
     best = F.expr(
         "CASE WHEN size(candidates) > 0 THEN "
         "aggregate(slice(candidates, 2, size(candidates)), candidates[0], "
         "(acc, c) -> IF(c.score > acc.score, c, acc)) END"
     )
+    needs_ocr = (F.col("kind") == "pdf-raster") | \
+        F.col("kind").startswith("image/")
     df = parsed.withColumn("best", best)
     return df.select(
         "url", "warc_ts", "doc_type", "bucket",
         F.when(F.col("error").isNotNull(), F.lit("FAILED"))
+        .when(needs_ocr, F.lit("NEEDS_OCR"))
         .otherwise(F.lit("COMPLETED")).alias("status"),
         F.coalesce(F.col("best.text"), F.lit("")).alias("text"),
         F.coalesce(F.col("best.blocks"), F.expr(f"CAST(array() AS {udfs.BLOCK_T})"))
         .alias("blocks"),
-        F.col("n_pages"), F.col("bytes_in"), F.col("error"), F.col("_wall_ms"),
+        F.col("n_pages"), F.col("bytes_in"),
+        F.when(F.col("error").isNull() & needs_ocr,
+               F.concat(F.lit("needs_ocr: "), F.col("kind")))
+        .otherwise(F.col("error")).alias("error"),
+        F.col("_wall_ms"),
     )
 
 
@@ -405,14 +415,19 @@ def lineage_of(stage_df: DataFrame, run_id: str, stage: str) -> DataFrame:
     """Per-bucket lineage rows (FIXTURES.md §3) from a stage output that
     carries bucket/bytes_in/error/_wall_ms. ``wall_ms`` is the max
     cumulative batch wall time observed in the bucket's physical
-    partition (upper bound of the bucket's processing time)."""
+    partition (upper bound of the bucket's processing time).
+    NEEDS_OCR rows (error 'needs_ocr: <fmt>') count as OK — the job
+    successfully CLASSIFIED them for a downstream OCR stage; fail_count
+    remains exactly the FAILED rows, so lineage dashboards don't page
+    on a corpus that is simply full of scans."""
+    ok = F.col("error").isNull() | F.col("error").startswith("needs_ocr: ")
     return (
         stage_df.groupBy(F.col("bucket").alias("partition_id"))
         .agg(
             F.count("*").alias("input_count"),
             F.sum("bytes_in").alias("bytes_in"),
-            F.sum(F.when(F.col("error").isNull(), 1).otherwise(0)).alias("ok_count"),
-            F.sum(F.when(F.col("error").isNull(), 0).otherwise(1)).alias("fail_count"),
+            F.sum(F.when(ok, 1).otherwise(0)).alias("ok_count"),
+            F.sum(F.when(ok, 0).otherwise(1)).alias("fail_count"),
             F.max("_wall_ms").alias("wall_ms"),
         )
         .select(

@@ -270,18 +270,36 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id",
     # aggregation chain — the input subtree is computed twice total
     # (row-level line metrics + the gram pass), not once per metric
     # (Spark inlines shared subtrees; the r1 verdict's CTE lesson).
-    def _tag(tag: str, arr: Column) -> Column:
+    # Shuffle-byte economy (VERDICT r4 #2): only the TOP-gram arm's
+    # output needs the gram text, so only that arm ships strings; the
+    # dup arm needs nothing but count × length per distinct gram, so it
+    # ships a 12-byte (xxhash64, length) fingerprint instead — roughly
+    # halving the post-partial-agg exchange bytes at corpus scale.
+    # (Distinct grams colliding in xxhash64 AND length would merge —
+    # ~n²/2⁶⁵ per doc, negligible against the filter's purpose.)
+    def _tag_top(arr: Column) -> Column:
         return F.transform(arr, lambda g: F.struct(
-            F.lit(tag).alias("tag"), g.alias("gram")))
+            F.lit("t").alias("tag"), g.alias("gram"),
+            F.lit(0).cast("bigint").alias("ghash"),
+            F.length(g).alias("glen")))
+
+    def _tag_dup(arr: Column) -> Column:
+        return F.transform(arr, lambda g: F.struct(
+            F.lit("d").alias("tag"), F.lit("").alias("gram"),
+            F.xxhash64(g).alias("ghash"),
+            F.length(g).alias("glen")))
 
     tg = base.select(
         id_col,
-        F.explode(F.concat(_tag("t", _grams(n_top)),
-                           _tag("d", _grams(n_dup)))).alias("_tg"),
+        F.explode(F.concat(_tag_top(_grams(n_top)),
+                           _tag_dup(_grams(n_dup)))).alias("_tg"),
     ).select(id_col, F.col("_tg.tag").alias("tag"),
-             F.col("_tg.gram").alias("gram"))
-    counts = tg.groupBy(id_col, "tag", "gram").agg(F.count("*").alias("cnt"))
-    gchars = F.col("cnt") * F.length("gram")
+             F.col("_tg.gram").alias("gram"),
+             F.col("_tg.ghash").alias("ghash"),
+             F.col("_tg.glen").alias("glen"))
+    counts = tg.groupBy(id_col, "tag", "gram", "ghash", "glen").agg(
+        F.count("*").alias("cnt"))
+    gchars = F.col("cnt") * F.col("glen")
     agg = counts.groupBy(id_col).agg(
         F.max(F.when(F.col("tag") == "t", F.struct("cnt", "gram")))
         .alias("_top"),
