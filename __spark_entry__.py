@@ -1795,14 +1795,17 @@ def _gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stop_hits", "gopher_pass")
 
 
-_register("gopher_quality_flags", _gopher_flags, r"""
-WITH base AS (
+# Gopher rule chain as a reusable SQL fragment: __SRC__ is the source
+# relation (doc_id, text) — used standalone (FROM documents) and inside
+# the hygiene_chain composition (FROM the quota+dedup survivors).
+# Plain-token splice, not str.format: the SQL carries regex braces.
+_GOPHER_SQL_CHAIN = r"""base AS (
   SELECT doc_id, coalesce(text, '') AS t,
     list_filter(string_split(replace(coalesce(text, ''), chr(10), ' '), ' '),
                 x -> x <> '') AS toks,
     list_filter(string_split(coalesce(text, ''), chr(10)),
                 x -> x <> '') AS lines
-  FROM documents
+  FROM __SRC__
 ), m AS (
   SELECT doc_id,
     cast(len(toks) as bigint) AS n_words,
@@ -1840,7 +1843,9 @@ WITH base AS (
          ELSE 0.0 END AS alpha_word_frac,
     stop_hits
   FROM m
-)
+)"""
+
+_GOPHER_SQL_SELECT = """
 SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
        ellipsis_line_frac, alpha_word_frac, stop_hits,
        CASE WHEN n_words >= 50 AND n_words <= 100000
@@ -1850,7 +1855,11 @@ SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
              AND stop_hits >= 2
             THEN 1 ELSE 0 END AS gopher_pass
 FROM r
-""")
+"""
+
+_register("gopher_quality_flags", _gopher_flags,
+          "WITH " + _GOPHER_SQL_CHAIN.replace("__SRC__", "documents")
+          + _GOPHER_SQL_SELECT)
 
 
 def _host_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1897,6 +1906,97 @@ WITH u AS (
 )
 SELECT host, url, doc_id, lang FROM rk WHERE rk <= 20
 """)
+
+
+def _hygiene_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[hygiene composition, r4 verdict #7] the real pre-training
+    cleanup chain as ONE lazy plan: host_quota (≤20 docs/host over a
+    mega-host-skewed corpus) → corpus-level paragraph dedup with
+    reassembly → Gopher quality flags on the deduplicated text. Pins
+    that the operators COMPOSE without pathological exchanges
+    (tests/test_plans.py bounds the plan's exchange count) and that the
+    composed result is oracle-exact end-to-end."""
+    _prep(spark)
+    from webextract import dedup, textstats, urls
+    k = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(k < 250,
+               F.concat(F.lit("https://WWW.Big.org:443/p/"),
+                        F.lpad(k.cast("string"), 4, "0")))
+        .otherwise(F.concat(F.lit("https://ex"), (k % 25).cast("string"),
+                            F.lit(".org/p/"), k.cast("string")))
+        .alias("url"),
+        F.replace(F.col("text"), F.lit(" a "), F.lit("\n")).alias("text"))
+    kept = urls.host_quota(docs, max_per_host=20).select("doc_id", "text")
+    deduped = dedup.dedup_paragraphs(kept)
+    return textstats.gopher_quality_flags(deduped).select(
+        "doc_id", "n_paras", "n_paras_kept", "n_words",
+        "mean_word_len", "alpha_word_frac", "gopher_pass")
+
+
+# quota election (lexicographically-smallest urls; lpad keeps the
+# mega-host's numeric ids binary-ordered) → paragraph first-occurrence
+# election over the SURVIVORS → gopher chain over the reassembly
+_HYGIENE_SQL = r"""
+WITH u AS (
+  SELECT doc_id,
+    CASE WHEN doc_id < 250
+         THEN 'https://WWW.Big.org:443/p/' || lpad(cast(doc_id as varchar), 4, '0')
+         ELSE 'https://ex' || cast(doc_id % 25 as varchar) || '.org/p/'
+              || cast(doc_id as varchar) END AS url,
+    replace(coalesce(text, ''), ' a ', chr(10)) AS t
+  FROM documents
+), h AS (
+  SELECT doc_id, url, t,
+    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1))
+      AS h0,
+    regexp_replace(regexp_replace(h0, '^[^/@]*@', ''), ':[0-9]+$', '')
+      AS h1,
+    CASE WHEN starts_with(h1, 'www.') THEN substring(h1, 5) ELSE h1 END
+      AS host
+  FROM u
+), qrk AS (
+  SELECT *, row_number() OVER (PARTITION BY host ORDER BY url) AS qrk FROM h
+), kept AS (
+  SELECT doc_id, t FROM qrk WHERE qrk <= 20
+), lst AS (
+  SELECT doc_id, string_split(t, chr(10)) AS l FROM kept
+), p AS (
+  SELECT doc_id, unnest(l) AS para, unnest(range(1, len(l) + 1)) AS pos
+  FROM lst
+), np AS (
+  SELECT doc_id, para, pos FROM p WHERE length(para) >= 1
+), prk AS (
+  SELECT doc_id, para, pos,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rk
+  FROM np
+), docs2 AS (
+  SELECT k.doc_id,
+         coalesce(t.text, '') AS text,
+         cast(coalesce(c.n_paras, 0) as bigint) AS n_paras,
+         cast(coalesce(t.n_kept, 0) as bigint) AS n_paras_kept
+  FROM kept k
+  LEFT JOIN (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text,
+                    count(*) AS n_kept
+             FROM prk WHERE rk = 1 GROUP BY doc_id) t ON k.doc_id = t.doc_id
+  LEFT JOIN (SELECT doc_id, count(*) AS n_paras FROM np GROUP BY doc_id) c
+         ON k.doc_id = c.doc_id
+), __GOPHER__
+SELECT g.doc_id, d2.n_paras, d2.n_paras_kept, g.n_words,
+       g.mean_word_len, g.alpha_word_frac, g.gopher_pass
+FROM (SELECT doc_id, n_words, mean_word_len, alpha_word_frac,
+             CASE WHEN n_words >= 50 AND n_words <= 100000
+                   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                   AND symbol_word_ratio < 0.1 AND bullet_line_frac < 0.9
+                   AND ellipsis_line_frac < 0.3 AND alpha_word_frac > 0.8
+                   AND stop_hits >= 2
+                  THEN 1 ELSE 0 END AS gopher_pass
+      FROM r) g
+JOIN docs2 d2 ON g.doc_id = d2.doc_id
+""".replace("__GOPHER__", _GOPHER_SQL_CHAIN.replace("__SRC__", "docs2"))
+
+_register("hygiene_chain", _hygiene_chain, _HYGIENE_SQL)
 
 
 def _decontamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3276,7 +3376,7 @@ _register("ann_recall_at_k", _ann_recall_at_k, _ann_recall_sql())
 # fold queries' SQL — the kernels are row-identical by contract).
 _PRIORITY = [
     # new/changed this round — never driver-verified in this form
-    "payload_kind_census",
+    "payload_kind_census", "lineage_run_summary", "hygiene_chain",
     "extract_flagship", "extract_pdf_pages", "ann_recall_at_k",
     "ann_lsh_topk_blas", "ann_ivf_topk_blas",
     "embedding_near_dup_bucketed_blas", "extract_cascade_in_batch_oracled",

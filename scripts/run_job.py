@@ -50,6 +50,12 @@ def main() -> None:
                          "pass 2 is this engine's own ensemble)")
     ap.add_argument("--accept", type=float, default=0.7,
                     help="cascade confidence gate (with --cascade)")
+    ap.add_argument("--canonical-keys", action="store_true",
+                    help="key resume buckets + sorted layout on "
+                         "canonical_url(url): spelled variants of one "
+                         "page co-locate (same commit group / output "
+                         "range); rows are unchanged. Use a fresh "
+                         "--output when flipping this flag")
     ap.add_argument("--cheap-fields", action="store_true",
                     help="cascade pass 1 runs the patterns-only fields arm "
                          "(accepts only when every required field is "
@@ -92,6 +98,7 @@ def main() -> None:
                  .get(args.cascade, False)),
         accept=args.accept,
         cheap_fields=args.cheap_fields,
+        canonical_keys=args.canonical_keys,
     )
     n = out.count()
     ok = out.filter(out.status == "COMPLETED").count()

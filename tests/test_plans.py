@@ -208,8 +208,10 @@ def test_repetition_signals_plan_shape(spark):
 
 def test_dedup_paragraphs_window_free(spark):
     """Paragraph dedup's first-occurrence election is a hash aggregation
-    (map-side partial min), never a per-paragraph window sort, and the
-    winner join keys on md5 — paragraph text must not be a join key."""
+    (map-side partial min) whose winner row IS the output row — never a
+    per-paragraph window sort, and (r5) no winner join: paragraph text
+    must not be a join key and the plan carries no join at all before
+    the final per-doc totals join."""
     from webextract import dedup
 
     df = spark.createDataFrame(
@@ -218,6 +220,36 @@ def test_dedup_paragraphs_window_free(spark):
     assert "Window" not in plan, plan
     assert "partial_min" in plan or "partial min" in plan.lower() \
         or "HashAggregate" in plan, plan
+    import re
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
+    # only the final per-doc totals join survives (tree nodes, not the
+    # details section)
+    assert len(re.findall(r"\(\d+\) \w*Join", plan)) <= 1, plan
+
+
+def test_hygiene_chain_composition_bounded(spark):
+    """The pre-training hygiene chain host_quota → dedup_paragraphs →
+    gopher_quality_flags composes into ONE plan without pathological
+    recomputation (r4 verdict #7): exchange count stays within the sum
+    of the parts + one quota-subtree re-reference (dedup consumes its
+    input twice: explode chain + per-doc totals), with zero windows and
+    zero Python stages. Pre-r5 the dedup winner join referenced the
+    input a THIRD time and the composed plan re-executed the quota
+    election once more (23 exchanges; now ≤15)."""
+    from webextract import dedup, textstats, urls
+
+    docs = spark.createDataFrame(
+        [(i, f"https://h{i % 5}.org/p/{i}", "w x\ny z\nw x")
+         for i in range(40)],
+        "doc_id bigint, url string, text string")
+    kept = urls.host_quota(docs, max_per_host=20).select("doc_id", "text")
+    plan = _explain(textstats.gopher_quality_flags(
+        dedup.dedup_paragraphs(kept)))
+    assert "Window" not in plan, plan
+    assert "pythonudf" not in plan.lower(), plan
+    import re
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_ex <= 15, n_ex
 
 
 def test_host_quota_window_free(spark):

@@ -293,3 +293,64 @@ def test_delete_where_job_count_constant(spark, tmp_path):
     assert n_big == n_small, f"{n_small} jobs @4 parts vs {n_big} @16"
     assert n_big <= 8
     assert len(man["parts"]) == 9          # 8 untouched + 1 merged rewrite
+
+
+def test_runner_canonical_keys_kill_resume(spark, tmp_path):
+    """canonical_keys=True (r4 verdict #6): resume buckets + sorted
+    layout key on urls.canonical_url — spelled variants of one page
+    co-locate in ONE bucket (and hence one commit group / output
+    range), rows themselves are unchanged, and kill/resume is
+    equivalent both with the flag and against a flag-off run."""
+    import datetime as dt
+
+    from webextract import fixtures, pipeline, urls
+
+    ts = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows, fams = [], []
+    for i in range(40):
+        _u, _ts, payload, _t, _l = fixtures.gen_page(i * 7 + 3)
+        base = f"https://host{i:02d}.example.org/docs/VANBAN_{i:04d}.html"
+        fam = [base,
+               base.replace("https://", "https://www.")
+                   .replace(".org/", ".org:443/"),
+               base + "?utm_source=x&"]
+        fams.append(fam)
+        rows += [(v, ts, bytearray(payload), "", "vi") for v in fam]
+    df = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+
+    # co-location: one bucket per family under the canonical key; the
+    # raw-url key scatters at least one family (P(not) < 1e-90)
+    canon_b = {r["url"]: r["bucket"] for r in pipeline.with_bucket(
+        df.select("url"), 16, key=urls.canonical_url("url")).collect()}
+    raw_b = {r["url"]: r["bucket"] for r in pipeline.with_bucket(
+        df.select("url"), 16).collect()}
+    for fam in fams:
+        assert len({canon_b[v] for v in fam}) == 1, fam
+    assert any(len({raw_b[v] for v in fam}) > 1 for fam in fams)
+
+    want = _final(runner.run_job(
+        spark, df, str(tmp_path / "ckfull"), n_buckets=16, commit_groups=4,
+        canonical_keys=True, sorted_layout=True))
+    assert len(want) == len(rows)  # rows unchanged: no collapse
+
+    out = str(tmp_path / "ckkr")
+    partial = runner.run_job(spark, df, out, n_buckets=16, commit_groups=4,
+                             max_groups=2, canonical_keys=True,
+                             sorted_layout=True)
+    assert 0 < partial.count() < len(rows)
+    resumed = runner.run_job(spark, df, out, n_buckets=16, commit_groups=4,
+                             canonical_keys=True, sorted_layout=True)
+    assert _final(resumed) == want
+
+    # flag-off equivalence: identical content either way
+    off = runner.run_job(spark, df, str(tmp_path / "ckoff"), n_buckets=16,
+                         commit_groups=4)
+    assert _final(off) == want
+
+    # lineage partition ids ARE the canonical buckets
+    lin = Catalog(out).read(spark, runner.LINEAGE_TABLE)
+    parts = {r["partition_id"]
+             for r in lin.select("partition_id").distinct().collect()}
+    assert parts == set(canon_b.values())

@@ -152,34 +152,37 @@ def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
     (empties never survive the split).
 
     Scale shape (the part that matters at 100 TB): the first-occurrence
-    ELECTION shuffles only ``md5(paragraph)`` keys + positions (column
-    pruning drops the text from the aggregation subtree) in ONE hash
-    aggregation with map-side partial min. Paragraph text itself still
-    crosses the wire twice — once into the winner join (keyed by md5;
-    AQE handles residual hot-paragraph skew) and once into the per-doc
-    reassembly — which is unavoidable: the output carries the text.
+    ELECTION is one hash aggregation by ``md5(paragraph)`` whose
+    map-side partial min leaves ONE ``(id, pos, para)`` candidate per
+    distinct paragraph per partition — the winner row IS the output
+    row, so there is no winner join at all (r5: the join-back shape
+    referenced the input subtree a third time, which re-executed any
+    upstream operators — e.g. a host-quota election — once per
+    reference when composed into a single plan). Paragraph text
+    crosses the wire twice: into the election exchange and into the
+    per-doc reassembly — unavoidable, the output carries the text.
     The reassembly ``collect_list`` buffer is bounded by the doc's own
     paragraph count. Exactness rests on md5 collision-freedom
     (standard for exact dedup; the same assumption as
-    ``fingerprints``). NULL text ≡ empty doc.
+    ``fingerprints``). NULL text ≡ empty doc. The input subtree is
+    referenced exactly TWICE (explode chain + per-doc totals) — pinned
+    by tests/test_plans.py on the composed hygiene chain.
 
     Returns one row per input doc: ``(id, text, n_paras,
     n_paras_kept)`` — ``text`` is the deduplicated reassembly (empty
     string when every paragraph was seen earlier)."""
     from .textstats import _lit_re
     parts = F.split(F.coalesce(F.col(text_col), F.lit("")), _lit_re(sep))
-    paras = df.select(
+    keyed = df.select(
         F.col(id_col), F.posexplode(parts).alias("_pos", "_para")
-    ).filter(F.length("_para") >= min_chars)
-    keyed = paras.select(
-        id_col, "_pos", "_para", F.md5("_para").alias("_pkey"))
-    first = keyed.groupBy("_pkey").agg(
-        F.min(F.struct(F.col(id_col), F.col("_pos"))).alias("_w"))
-    kept = (
-        keyed.join(first, "_pkey")
-        .filter((F.col(f"_w.{id_col}") == F.col(id_col))
-                & (F.col("_w._pos") == F.col("_pos")))
-    )
+    ).filter(F.length("_para") >= min_chars) \
+        .withColumn("_pkey", F.md5("_para"))
+    kept = keyed.groupBy("_pkey").agg(
+        F.min(F.struct(F.col(id_col), F.col("_pos"), F.col("_para")))
+        .alias("_w")
+    ).select(F.col(f"_w.{id_col}").alias(id_col),
+             F.col("_w._pos").alias("_pos"),
+             F.col("_w._para").alias("_para"))
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

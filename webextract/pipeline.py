@@ -32,7 +32,7 @@ import time
 import uuid
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 from . import udfs
 
@@ -122,16 +122,38 @@ def with_doc_type(df: DataFrame) -> DataFrame:
     )
 
 
-def with_bucket(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+def with_bucket(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS,
+                key: Column | None = None) -> DataFrame:
+    """Stable logical bucket id. ``key`` overrides the hashed key
+    column (e.g. urls.canonical_url('url') so spelled variants of one
+    page co-locate in a bucket — runner canonical_keys). When ``key``
+    is None and the frame ALREADY carries a bucket column, it is kept:
+    callers like the runner pre-bucket with their chosen key, and the
+    extract paths must not silently re-key it back to raw url."""
+    if key is None:
+        if "bucket" in df.columns:
+            return df
+        key = F.col("url")
     return df.withColumn(
-        "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int")
+        "bucket", F.pmod(F.xxhash64(key), F.lit(n_buckets)).cast("int")
     )
+
+
+def _PRUNED_COLS(pages: DataFrame) -> list[str]:
+    """Column pruning for the payload-touching stages: url/ts/html, plus
+    a caller-computed ``bucket`` if one rides along (the runner's
+    canonical-url keying — with_bucket keeps it instead of re-keying)."""
+    keep = ["url", "warc_ts", "html"]
+    if "bucket" in pages.columns:
+        keep.append("bucket")
+    return keep
 
 
 def stage_parse(pages: DataFrame, n_buckets: int = DEFAULT_BUCKETS,
                 partitions: int | None = None) -> DataFrame:
     """Stage 1: prune to needed columns, bucket, parse payloads."""
-    prepped = with_bucket(with_doc_type(pages.select("url", "warc_ts", "html")), n_buckets)
+    prepped = with_bucket(
+        with_doc_type(pages.select(*_PRUNED_COLS(pages))), n_buckets)
     n_parts = partitions or prepped.sparkSession.conf.get("spark.sql.shuffle.partitions")
     prepped = prepped.repartition(int(n_parts), "bucket")
     return prepped.mapInPandas(udfs.parse_batches, udfs.PARSED_SCHEMA)
@@ -209,7 +231,7 @@ def run_extract_full(pages: DataFrame, n_buckets: int = DEFAULT_BUCKETS,
                              "(the staged path materializes the full "
                              "ensemble for C4)")
         return stage_fields(stage_assemble(stage_parse(pages, n_buckets, partitions)))
-    prepped = with_bucket(pages.select("url", "warc_ts", "html"), n_buckets)
+    prepped = with_bucket(pages.select(*_PRUNED_COLS(pages)), n_buckets)
     if repartition:
         n_parts = partitions or prepped.sparkSession.conf.get(
             "spark.sql.shuffle.partitions")
@@ -242,7 +264,7 @@ def run_extract_cascade_in_batch_full(
     (runner.run_job(cascade='in_batch')). _wall_ms is the cumulative
     batch wall including in-line escalations; lineage takes the
     per-bucket max as usual."""
-    prepped = with_bucket(pages.select("url", "warc_ts", "html"), n_buckets)
+    prepped = with_bucket(pages.select(*_PRUNED_COLS(pages)), n_buckets)
     if repartition:
         n_parts = prepped.sparkSession.conf.get(
             "spark.sql.shuffle.partitions")
@@ -385,15 +407,22 @@ def _cascade(pages: DataFrame, accept: float, cols: list[str],
     return track(out, first)
 
 
-def layout_by_url(extracted: DataFrame, n_files: int | None = None) -> DataFrame:
+def layout_by_url(extracted: DataFrame, n_files: int | None = None,
+                  key: Column | None = None) -> DataFrame:
     """Output layout for the extracted table: range-partition by url and
     sort within partitions (north_star: "bounds shuffle via
     repartitionByRange on url"). This is the ONE place the extracted rows
     shuffle — after extraction, when rows are text-sized, never payloads.
     It buys Iceberg/parquet min-max pruning for P1 point lookups and
-    url-prefix scans: each output file owns a contiguous url range."""
+    url-prefix scans: each output file owns a contiguous url range.
+    ``key`` overrides the range/sort key (runner canonical_keys lays
+    out by urls.canonical_url so spelled variants of one page land in
+    the same file/range; url stays the tiebreak sort)."""
     n = n_files or int(extracted.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return extracted.repartitionByRange(n, "url").sortWithinPartitions("url")
+    if key is None:
+        return extracted.repartitionByRange(n, "url").sortWithinPartitions("url")
+    return (extracted.repartitionByRange(n, key)
+            .sortWithinPartitions(key, "url"))
 
 
 def tune_input_splits(spark: SparkSession, input_bytes: int,

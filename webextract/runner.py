@@ -88,6 +88,7 @@ def run_job(
     cascade: bool = False,
     accept: float = 0.7,
     cheap_fields: bool = False,
+    canonical_keys: bool = False,
 ) -> DataFrame:
     """Run (or resume) the extraction job; returns the full extracted
     table as of the last commit. ``max_groups`` limits how many commit
@@ -108,6 +109,19 @@ def run_job(
     ensemble rather than an external one). ``cheap_fields`` is
     forwarded to BOTH cascade modes (pass 1 patterns-only when True),
     so the two modes always agree row-for-row.
+
+    ``canonical_keys=True`` keys the resume bucketing AND the sorted
+    output layout on ``urls.canonical_url(url)`` instead of the raw
+    url: spelled variants of one page (www., default ports, utm_*
+    params, trailing slashes) collapse onto ONE bucket — they travel
+    in the same commit group, land in the same output url-range, and a
+    downstream per-bucket dedup needs no further shuffle. Output ROWS
+    are unchanged (every input row still extracts; collapsing variant
+    rows is dedup.exact_dedup / urls.with_canonical_url composition,
+    kept out of the runner so the flag never shuffles payload bytes) —
+    pinned by the kill/resume equivalence test at both flag values.
+    Flip the flag only on a FRESH out_root: resume joins on bucket ids,
+    and the two keyings number buckets differently.
 
     Concurrency contract: ONE live run_job per ``out_root``. Two
     concurrent runners would both see the same pending buckets and
@@ -130,7 +144,12 @@ def run_job(
         if b not in done:
             pending_groups[group_of(b)].append(b)
 
-    prepped = pipeline.with_bucket(pipeline.with_doc_type(pages), n_buckets)
+    key = None
+    if canonical_keys:
+        from .urls import canonical_url
+        key = canonical_url("url")
+    prepped = pipeline.with_bucket(pipeline.with_doc_type(pages), n_buckets,
+                                   key=key)
     if done:
         done_df = spark.createDataFrame(
             [(b,) for b in sorted(done)], "bucket int"
@@ -177,7 +196,7 @@ def run_job(
             try:
                 out_rows = extracted.select(*pipeline.EXTRACTED_COLUMNS)
                 if sorted_layout:
-                    out_rows = pipeline.layout_by_url(out_rows)
+                    out_rows = pipeline.layout_by_url(out_rows, key=key)
                 catalog.append(EXTRACTED_TABLE, out_rows)
                 catalog.append(
                     LINEAGE_TABLE, pipeline.lineage_of(extracted, run_id, "final")

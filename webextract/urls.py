@@ -49,8 +49,17 @@ def canonical_url(url: str | Column = "url") -> Column:
          .when(la.startswith("http://"),
                F.regexp_replace(la, ":80$", ""))
          .otherwise(la))
-    a = F.replace(a, F.lit("https://www."), F.lit("https://"))  # 5
-    a = F.replace(a, F.lit("http://www."), F.lit("http://"))
+    # 5 — literal PREFIX strip (host_of discipline): the authority is a
+    # single token so replace-all could only ever hit once, but
+    # startswith+substring makes the prefix intent mechanical (r4 nit);
+    # the DuckDB oracle's plain replace stays output-identical
+    a = (F.when(a.startswith("https://www."),
+                F.concat(F.lit("https://"),
+                         F.substring(a, 13, F.length(a))))
+         .when(a.startswith("http://www."),
+               F.concat(F.lit("http://"),
+                        F.substring(a, 12, F.length(a))))
+         .otherwise(a))
     path = F.regexp_replace(path, "/+$", "")                  # 6
     kept = F.array_sort(F.filter(                             # 7
         F.split(query, "&"),
