@@ -51,6 +51,10 @@ BENCH_QUERIES = [
     "lsh_candidate_pairs_prod",
     "simhash_prod_pairs",
     "embedding_near_dup_bucketed",
+    # round 5: scanned-page classification census (full pipeline over a
+    # media-mix corpus) and the composed pre-training hygiene chain
+    "payload_kind_census",
+    "hygiene_chain",
     # round 4: corpus-hygiene operators (Gopher filters, paragraph-level
     # dedup with reassembly, PII scrubbing, host quotas)
     "gopher_repetition_signals",
@@ -125,6 +129,82 @@ def run_extract_bench(spark, n_docs: int, cascade: bool = True) -> dict:
             cache.release_all()
         out[key] = round(best, 3)
     return out
+
+
+def _gen_warc_archive(args: tuple[str, int, int, int]) -> int:
+    """Worker: write one member-gzip WARC archive of fixture pages
+    (multiprocessing target — one archive per task)."""
+    import sys as _sys
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from webextract import fixtures, warc
+    path, idx, per, start = args
+    rows = [(u, ts, p) for u, ts, p, _t, _l
+            in fixtures.gen_pages(per, start=start + idx * per)]
+    warc.write_warc(path, rows, gzip_members=True)
+    return sum(len(p) for _, _, p in rows)
+
+
+def warc_corpus(n_archives: int, per_archive: int) -> tuple[str, int]:
+    """Cached multi-archive WARC fixture dir (r4 verdict #5: ≥64
+    archives / ≥1 GB): ``n_archives`` member-gzip WARC/1.0 files of
+    ``per_archive`` fixture pages each, generated in parallel (one
+    archive per process — the same file-granular unit the reader
+    parallelizes on). Returns (dir, raw_payload_bytes)."""
+    from webextract import fixtures
+
+    tag = f"warc_v{fixtures.CONTENT_VERSION}_{n_archives}x{per_archive}"
+    d = os.path.join(CACHE_DIR, tag)
+    meta = os.path.join(d, "_raw_bytes.txt")
+    if not os.path.exists(meta):
+        import multiprocessing as mp
+        import shutil
+        shutil.rmtree(d + ".tmp", ignore_errors=True)
+        os.makedirs(d + ".tmp", exist_ok=True)
+        t0 = time.monotonic()
+        jobs = [(os.path.join(d + ".tmp", f"part-{i:05d}.warc.gz"),
+                 i, per_archive, 0) for i in range(n_archives)]
+        with mp.Pool(min(32, n_archives)) as p:
+            raw = sum(p.map(_gen_warc_archive, jobs))
+        with open(os.path.join(d + ".tmp", "_raw_bytes.txt"), "w") as f:
+            f.write(str(raw))
+        shutil.rmtree(d, ignore_errors=True)
+        os.replace(d + ".tmp", d)
+        print(f"# generated {n_archives} WARC archives "
+              f"({n_archives * per_archive} docs) in "
+              f"{time.monotonic() - t0:.1f}s", file=sys.stderr)
+    return d, int(open(meta).read())
+
+
+def run_warc_bench(spark, n_archives: int = 100,
+                   per_archive: int = 6000) -> dict:
+    """Fused raw-archive extraction (warc.extract_warc: WARC parse +
+    the whole extraction oracle in ONE mapInPandas stage) over the
+    multi-archive fixture. WARC.gz is not splittable, so parallelism is
+    file-granular — n_archives/cores waves; disk MB/s is the headline
+    (the number a crawl-ingest pipeline is sized by)."""
+    from webextract import warc
+
+    d, raw = warc_corpus(n_archives, per_archive)
+    disk = sum(os.path.getsize(os.path.join(d, f))
+               for f in os.listdir(d) if f.endswith(".warc.gz"))
+    n_docs = n_archives * per_archive
+    # warm: one archive end-to-end (JIT + python worker startup)
+    warc.extract_warc(
+        spark, os.path.join(d, "part-00000.warc.gz")
+    ).write.format("noop").mode("overwrite").save()
+    repeats = int(os.environ.get("WEBEXTRACT_BENCH_REPEATS", "2"))
+    wall = float("inf")
+    for _ in range(max(1, repeats)):
+        t0 = time.monotonic()
+        warc.extract_warc(spark, os.path.join(d, "*.warc.gz")) \
+            .write.format("noop").mode("overwrite").save()
+        wall = min(wall, time.monotonic() - t0)
+    return {"archives": n_archives, "docs": n_docs,
+            "disk_bytes": disk, "raw_payload_bytes": raw,
+            "wall_sec": round(wall, 3),
+            "docs_per_sec": round(n_docs / wall, 1),
+            "disk_mb_per_sec": round(disk / 1e6 / wall, 1),
+            "raw_mb_per_sec": round(raw / 1e6 / wall, 1)}
 
 
 def _emb_fixture(spark, n_vec: int, dim: int) -> str:
@@ -319,6 +399,13 @@ def main() -> None:
                          "bucket-join) over the corpus texts at --cpus "
                          "— the N vs 4N evidence for the shuffle-bound "
                          "path (scripts/scaling_bench.py --mode lsh)")
+    ap.add_argument("--warc-only", action="store_true",
+                    help="raw-archive ingest probe: fused WARC parse + "
+                         "extraction over the multi-archive fixture at "
+                         "--cpus — file-granular parallelism evidence "
+                         "(scripts/scaling_bench.py --mode warc)")
+    ap.add_argument("--warc-archives", type=int, default=96)
+    ap.add_argument("--warc-per-archive", type=int, default=6000)
     args = ap.parse_args()
 
     from webextract import pipeline
@@ -327,6 +414,12 @@ def main() -> None:
                                    shuffle_partitions=max(args.cpus, 8))
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    if args.warc_only:
+        r = run_warc_bench(spark, args.warc_archives, args.warc_per_archive)
+        print(json.dumps({"cpus": args.cpus, **r}))
+        spark.stop()
+        return
 
     if args.lsh_only:
         # best-of-N repeats, same policy as the extract probe (this VM's
@@ -362,6 +455,7 @@ def main() -> None:
                  run_ann_scale_bench(spark, 100000, 768, ("blas",))]
     scale_docs = int(os.environ.get("WEBEXTRACT_SCALE_DOCS", "1000000"))
     scale = run_scale_bench(spark, scale_docs) if scale_docs else None
+    warc_res = run_warc_bench(spark)
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
@@ -377,6 +471,7 @@ def main() -> None:
         "dedup": dedup_e2e,
         "ann_scale": ann_scale,
         "scale": scale,
+        "warc": warc_res,
         "cpus": args.cpus,
     }
     print(json.dumps(result))

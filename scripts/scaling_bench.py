@@ -76,16 +76,33 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=240000)
     ap.add_argument("--control-docs", type=int, default=64000)
-    ap.add_argument("--mode", choices=["extract", "lsh"], default="extract",
+    ap.add_argument("--mode", choices=["extract", "lsh", "warc"],
+                    default="extract",
                     help="extract: the headline zero-shuffle extraction "
                          "job (writes BENCH.md). lsh: the shuffle-bound "
                          "production MinHash LSH path (cold signatures + "
                          "band bucket-join) — JSON only, results are "
                          "hand-curated into BENCH.md; no mp control (a "
-                         "shuffle has no no-framework equivalent)")
+                         "shuffle has no no-framework equivalent). "
+                         "warc: fused raw-archive ingest over the "
+                         "multi-archive WARC fixture — file-granular "
+                         "parallelism, JSON only")
     args = ap.parse_args()
 
     import bench
+
+    if args.mode == "warc":
+        bench.warc_corpus(100, 6000)  # generate once, outside the timing
+        res = {c: spark_run(c, args.docs, "--warc-only") for c in LEVELS}
+
+        def weff(a, b):
+            return (res[b]["docs_per_sec"] / res[a]["docs_per_sec"]) / (b / a)
+
+        print(json.dumps({"mode": "warc", "levels": res,
+                          "eff_2_8": round(weff(2, 8), 3),
+                          "eff_8_32": round(weff(8, 32), 3)}))
+        return
+
     corpus = bench.pages_corpus(args.docs)
 
     if args.mode == "lsh":
