@@ -175,8 +175,8 @@ def warc_corpus(n_archives: int, per_archive: int) -> tuple[str, int]:
     return d, int(open(meta).read())
 
 
-def run_warc_bench(spark, n_archives: int = 100,
-                   per_archive: int = 6000) -> dict:
+def run_warc_bench(spark, n_archives: int = 96,
+                   per_archive: int = 6250) -> dict:
     """Fused raw-archive extraction (warc.extract_warc: WARC parse +
     the whole extraction oracle in ONE mapInPandas stage) over the
     multi-archive fixture. WARC.gz is not splittable, so parallelism is
@@ -405,7 +405,7 @@ def main() -> None:
                          "--cpus — file-granular parallelism evidence "
                          "(scripts/scaling_bench.py --mode warc)")
     ap.add_argument("--warc-archives", type=int, default=96)
-    ap.add_argument("--warc-per-archive", type=int, default=6000)
+    ap.add_argument("--warc-per-archive", type=int, default=6250)
     args = ap.parse_args()
 
     from webextract import pipeline

@@ -92,7 +92,7 @@ def main() -> None:
     import bench
 
     if args.mode == "warc":
-        bench.warc_corpus(100, 6000)  # generate once, outside the timing
+        bench.warc_corpus(96, 6250)  # generate once, outside the timing
         res = {c: spark_run(c, args.docs, "--warc-only") for c in LEVELS}
 
         def weff(a, b):

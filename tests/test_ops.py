@@ -41,6 +41,12 @@ FAST_QUERIES = [
     "gopher_repetition_signals",
     "gopher_quality_flags",
     "decontamination_flags",
+    # round 5: scanned-page census (full pipeline, NEEDS_OCR taxonomy),
+    # the composed hygiene chain, and the lineage health check (runs a
+    # real checkpointed job into a temp dir)
+    "payload_kind_census",
+    "hygiene_chain",
+    "lineage_run_summary",
 ]
 
 
