@@ -835,17 +835,11 @@ _SCANNED_PDF_TPL = (
 )
 
 
-def _payload_kind_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[S1, C2, NEEDS_OCR taxonomy] full-pipeline payload classification
-    census over a synthesized media-mix corpus (HTML + raw JPEG/PNG
-    bodies + scanned image-only PDFs, pure function of doc_id): raster
-    payloads must come out status=NEEDS_OCR with the sniffed format in
-    ``error`` and scanned PDFs keep their real page count — the honest
-    handling of the reference's core OCR input class
-    (ocr_service_advanced.py:360-428) instead of empty-text COMPLETED."""
-    _prep(spark)
-    from webextract import pipeline
-    pipeline.ship_package(spark)
+def _media_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized media-mix pages corpus (pure function of doc_id):
+    ~18% raw JPEG/PNG bodies (magic + utf-8 text bytes), ~18% scanned
+    image-only PDFs (the fixed ASCII template), rest HTML. Shared by
+    payload_kind_census and needs_ocr_route."""
     docs = _t(spark, sf_dir, "documents")
     m = F.pmod(F.col("doc_id"), F.lit(11))
     txt = F.coalesce(F.col("text"), F.lit(""))
@@ -858,12 +852,27 @@ def _payload_kind_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.encode(txt, "utf-8")))
         .when(m.isin(5, 6), F.encode(F.lit(_SCANNED_PDF_TPL), "utf-8"))
         .otherwise(F.encode(html, "utf-8")))
-    pages = docs.select(
+    return docs.select(
+        "doc_id",
         F.concat(F.lit(_SYN_PREFIX), F.lit("media/"),
                  F.col("doc_id").cast("string"), F.lit(".bin")).alias("url"),
         F.lit(dt.datetime(2024, 3, 1,
                           tzinfo=dt.timezone.utc)).alias("warc_ts"),
         payload.alias("html"), txt.alias("text"), F.lit("und").alias("lang"))
+
+
+def _payload_kind_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S1, C2, NEEDS_OCR taxonomy] full-pipeline payload classification
+    census over a synthesized media-mix corpus (HTML + raw JPEG/PNG
+    bodies + scanned image-only PDFs, pure function of doc_id): raster
+    payloads must come out status=NEEDS_OCR with the sniffed format in
+    ``error`` and scanned PDFs keep their real page count — the honest
+    handling of the reference's core OCR input class
+    (ocr_service_advanced.py:360-428) instead of empty-text COMPLETED."""
+    _prep(spark)
+    from webextract import pipeline
+    pipeline.ship_package(spark)
+    pages = _media_pages(spark, sf_dir).drop("doc_id")
     ext = pipeline.run_extract(pages, n_buckets=16)
     kind = (
         F.when(F.col("status") == "NEEDS_OCR", F.expr("substring(error, 12)"))
@@ -890,6 +899,71 @@ SELECT CASE WHEN payload_kind = 'text' THEN 'COMPLETED'
                      WHEN payload_kind = 'text' THEN 1
                      ELSE 0 END) as bigint) AS total_pages
 FROM k GROUP BY 1, 2
+""")
+
+
+# hex-byte extraction macros over h = upper(hex(encode(text)))
+# (shared by the decode-stub oracles below and needs_ocr_route)
+_B0 = f"((instr({_HD}, substr(h, 1, 1)) - 1) * 16 + instr({_HD}, substr(h, 2, 1)) - 1)"
+_BL = (f"((instr({_HD}, substr(h, length(h) - 1, 1)) - 1) * 16"
+       f" + instr({_HD}, substr(h, length(h), 1)) - 1)")
+
+
+def _needs_ocr_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[NEEDS_OCR → OCR-stage handoff] the routing table a downstream
+    OCR engine consumes: extract over the media-mix corpus, keep the
+    NEEDS_OCR rows, join their payloads back by url (at scale: the
+    OCR stage re-reads exactly the flagged fraction of source bytes —
+    the same bounded-re-read shape as the cascade's pass 2), and run
+    the multimodal decode stub for format/dimension metadata. Output:
+    one work item per raster document with sniffed kind, byte size,
+    stub dims, and the parser's page count."""
+    _prep(spark)
+    from webextract import multimodal, pipeline
+    pipeline.ship_package(spark)
+    pages = _media_pages(spark, sf_dir)
+    ext = pipeline.run_extract(pages.drop("doc_id"), n_buckets=16)
+    need = ext.filter(F.col("status") == "NEEDS_OCR").select(
+        "url", "n_pages", F.expr("substring(error, 12)").alias("source"))
+    media = pages.select("doc_id", "url", F.col("html").alias("media"))
+    work = need.join(media, "url")
+    dec = multimodal.decode_media(work.select("doc_id", "media", "source"))
+    return dec.join(work.select("doc_id", "n_pages"), "doc_id").select(
+        "doc_id", "source", "n_bytes", "format", "width", "height",
+        "n_frames", "n_pages")
+
+
+# stub-decode replay: raw-image arms derive dims from (first byte =
+# the magic's 0xFF/0x89, last byte = the utf-8 text's last byte — or
+# the magic's own last byte for empty text — and n = text bytes + 4);
+# the scanned-PDF arm is a fixed template → constants (len 636,
+# 'pdf', 823×552, 7 frames, 2 parsed pages)
+_register("needs_ocr_route", _needs_ocr_route, f"""
+WITH k AS (
+  SELECT doc_id, doc_id % 11 AS m,
+         upper(hex(encode(coalesce(text, '')))) AS h,
+         octet_length(encode(coalesce(text, ''))) AS tn
+  FROM documents
+  WHERE doc_id % 11 IN (3, 4, 5, 6)
+)
+SELECT doc_id,
+  CASE WHEN m = 3 THEN 'image/jpeg' WHEN m = 4 THEN 'image/png'
+       ELSE 'pdf-raster' END AS source,
+  cast(CASE WHEN m IN (5, 6) THEN 636 ELSE tn + 4 END as bigint) AS n_bytes,
+  CASE WHEN m = 3 THEN 'jpeg' WHEN m = 4 THEN 'png'
+       ELSE 'pdf' END AS format,
+  cast(CASE WHEN m IN (5, 6) THEN 823
+       ELSE 64 + ((CASE WHEN m = 3 THEN 255 ELSE 137 END) * 31 + tn + 4)
+                 % 1024 END as int) AS width,
+  cast(CASE WHEN m IN (5, 6) THEN 552
+       ELSE 64 + ((CASE WHEN tn = 0
+                        THEN CASE WHEN m = 3 THEN 224 ELSE 71 END
+                        ELSE {_BL} END) * 17 + (tn + 4) // 2)
+                 % 1024 END as int) AS height,
+  cast(CASE WHEN m IN (5, 6) THEN 7
+       ELSE 1 + (tn + 4) % 30 END as int) AS n_frames,
+  cast(CASE WHEN m IN (5, 6) THEN 2 ELSE 0 END as int) AS n_pages
+FROM k
 """)
 
 
@@ -955,9 +1029,6 @@ FROM documents
 # text (0x89/0xFF cannot start a UTF-8 sequence) and the TIFF magics
 # embed NUL bytes (absent from the generated documents text), so the
 # sniff reduces to the ASCII prefixes %PDF / RIFF / GIF8.
-_B0 = f"((instr({_HD}, substr(h, 1, 1)) - 1) * 16 + instr({_HD}, substr(h, 2, 1)) - 1)"
-_BL = (f"((instr({_HD}, substr(h, length(h) - 1, 1)) - 1) * 16"
-       f" + instr({_HD}, substr(h, length(h), 1)) - 1)")
 
 _register("multimodal_decode_stub", _multimodal_decode_stub, f"""
 WITH b AS (
@@ -3377,6 +3448,7 @@ _register("ann_recall_at_k", _ann_recall_at_k, _ann_recall_sql())
 _PRIORITY = [
     # new/changed this round — never driver-verified in this form
     "payload_kind_census", "lineage_run_summary", "hygiene_chain",
+    "needs_ocr_route",
     "extract_flagship", "extract_pdf_pages", "ann_recall_at_k",
     "ann_lsh_topk_blas", "ann_ivf_topk_blas",
     "embedding_near_dup_bucketed_blas", "extract_cascade_in_batch_oracled",

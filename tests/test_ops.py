@@ -47,6 +47,7 @@ FAST_QUERIES = [
     "payload_kind_census",
     "hygiene_chain",
     "lineage_run_summary",
+    "needs_ocr_route",
 ]
 
 
