@@ -8,6 +8,11 @@ local[$SPARK_GRAFT_CPUS], and prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
    "extract": {"docs": ..., "wall_sec": ..., "docs_per_sec": ...}}
 
+The stdout line is deliberately COMPACT (the driver parses it out of a
+bounded stdout tail; BENCH_r04.json went "parsed": null when the full
+dict outgrew it) — the complete result (ann_scale points, full scale/
+warc/dedup sections) is written to BENCH_FULL.json alongside it.
+
 --extract-only --cpus N --docs M : extraction throughput at a given
 parallelism (used by scripts/scaling_bench.py for the N vs 4N scaling
 criterion — local[8] vs local[32] on the SAME corpus).
@@ -384,6 +389,43 @@ def run_scale_bench(spark, n_docs: int) -> dict:
     }
 
 
+def compact_result(result: dict) -> str:
+    """The stdout JSON line: driver-contract keys + per-query walls +
+    one-scalar-each section summaries, guaranteed under the driver's
+    stdout-tail window (tests pin < 1900 chars even with every query
+    wall at 99999.99)."""
+    queries = result["queries"]
+    extract = result["extract"]
+    scale = result.get("scale")
+    warc_res = result["warc"]
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in queries.items()},
+        "sf": result["sf"],
+        "extract": {"docs": extract["docs"],
+                    "wall_sec": extract["wall_sec"],
+                    "docs_per_sec": extract["docs_per_sec"]},
+        "dedup_wall_sec": result["dedup"]["wall_sec"],
+        "scale_1m": (None if scale is None else
+                     {"extract_wall_sec": scale["extract"]["wall_sec"],
+                      "dedup_wall_sec": scale["dedup"]["wall_sec"],
+                      "lsh_wall_sec": scale["lsh_prod"]["wall_sec"]}),
+        "warc": {"docs_per_sec": warc_res["docs_per_sec"],
+                 "disk_mb_per_sec": warc_res["disk_mb_per_sec"]},
+        "cpus": result["cpus"],
+        "detail": "BENCH_FULL.json",
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # last-ditch: never outgrow the driver's tail
+        compact["queries"] = {k: round(v, 2) for k, v in sorted(
+            queries.items(), key=lambda kv: -kv[1])[:30]}
+        compact["queries_truncated_see_detail"] = True
+        line = json.dumps(compact)
+    return line
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int,
@@ -474,7 +516,19 @@ def main() -> None:
         "warc": warc_res,
         "cpus": args.cpus,
     }
-    print(json.dumps(result))
+    # The driver keeps only the LAST ~2000 chars of stdout and parses the
+    # JSON line out of that tail — BENCH_r04.json is the cautionary tale:
+    # the full result dict outgrew the tail and the round's machine-
+    # readable record became "parsed": null. So: FULL detail goes to
+    # BENCH_FULL.json (committed, BENCH.md's companion), and stdout gets
+    # a compact line (contract keys + per-query walls + one-scalar-each
+    # section summaries) kept comfortably under the tail window.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_FULL.json")
+    with open(detail_path, "w") as f:
+        json.dump(result, f, indent=1)
+        f.write("\n")
+    print(compact_result(result))
     spark.stop()
 
 
