@@ -2187,6 +2187,94 @@ SELECT doc_id, {cols}, t{n} AS scrubbed_text FROM {prev}
 _register("pii_scrub", _pii_scrub, _pii_scrub_sql())
 
 
+# decomposed-suffix fixtures for unicode_nfc_normalize, built with
+# chr() so no editor/tool can silently NFC-compose a source literal:
+# m=0 plants combining marks in the WRONG canonical order (circumflex
+# U+0302 ccc=230 BEFORE dot-below U+0323 ccc=220) — NFC must reorder
+# then compose to ệ; m=1 is the one-mark compose case (é); m=2 stays
+# ASCII (identity arm)
+_NFC_SUFFIX_REORDER = " vie" + chr(0x302) + chr(0x323) + "t nam"
+_NFC_SUFFIX_SIMPLE = " cafe" + chr(0x301)
+
+
+def _unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[text normalization] textstats.normalize_nfc — Unicode NFC
+    (UAX #15) over documents with deterministically planted DECOMPOSED
+    suffixes (the corpus text is ASCII): one arm needs canonical
+    REORDERING before composition ('e'+U+0302+U+0323 → ệ), one is the
+    plain compose case (é), one is the ASCII identity arm. The pandas
+    UDF's output is driver-verified byte-identical against DuckDB's
+    utf8proc nfc_normalize — two independent UAX #15 implementations
+    agreeing per row."""
+    _prep(spark)
+    from webextract import textstats
+    k = F.col("doc_id")
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(k % 3 == 0, F.lit(_NFC_SUFFIX_REORDER))
+            .when(k % 3 == 1, F.lit(_NFC_SUFFIX_SIMPLE))
+            .otherwise(F.lit(" plain")),
+        ).alias("raw"))
+    out = textstats.normalize_nfc(d, text_col="raw", out_col="text_nfc")
+    return out.select(
+        "doc_id", "text_nfc",
+        (F.col("text_nfc") != F.col("raw")).cast("int").alias("changed"),
+        (F.length("raw") - F.length("text_nfc")).cast("bigint")
+        .alias("chars_composed"))
+
+
+# chr(770)=U+0302 circumflex, chr(803)=U+0323 dot below, chr(769)=U+0301
+_register("unicode_nfc_normalize", _unicode_nfc, """
+WITH raw AS (
+  SELECT doc_id,
+    coalesce(text, '') ||
+    CASE WHEN doc_id % 3 = 0
+         THEN ' vie' || chr(770) || chr(803) || 't nam'
+         WHEN doc_id % 3 = 1 THEN ' cafe' || chr(769)
+         ELSE ' plain' END AS raw
+  FROM documents)
+SELECT doc_id, nfc_normalize(raw) AS text_nfc,
+       CASE WHEN nfc_normalize(raw) <> raw THEN 1 ELSE 0 END AS changed,
+       cast(length(raw) - length(nfc_normalize(raw)) as bigint)
+         AS chars_composed
+FROM raw
+""")
+
+
+# the C4 §2.2 blocklist for this corpus: three words present in ~78%
+# of documents each (flag varies) + one absent (exercises the no-match
+# arm of the intersect)
+_BLOCKLIST = ["slow", "broken", "vector", "spam"]
+
+
+def _content_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[content filtering] textstats.content_blocklist — C4-style
+    badword flag (Raffel 2020 §2.2 / UT1-blocklist shape): unicode
+    tokenize, lowercase, exact-token intersect against a literal
+    blocklist. Pure in-row Catalyst (plan-asserted zero exchange):
+    n_blockwords = DISTINCT blocklist words present, blocked = 0/1."""
+    _prep(spark)
+    from webextract import textstats
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.content_blocklist(docs, _BLOCKLIST).select(
+        "doc_id", "lang", "n_blockwords", "blocked")
+
+
+_register("content_blocklist_flags", _content_blocklist, r"""
+SELECT doc_id, lang,
+  cast(len(list_intersect(
+    string_split_regex(lower(coalesce(text, '')), '[^\p{L}\p{N}]+'),
+    ['slow', 'broken', 'vector', 'spam'])) as bigint) AS n_blockwords,
+  CASE WHEN len(list_intersect(
+    string_split_regex(lower(coalesce(text, '')), '[^\p{L}\p{N}]+'),
+    ['slow', 'broken', 'vector', 'spam'])) > 0 THEN 1 ELSE 0 END
+    AS blocked
+FROM documents
+""")
+
+
 _EN_STOP = "'the', 'of', 'and', 'a', 'to', 'in', 'is', 'on', 'for', 'with'"
 _VI_STOP = "'và', 'của', 'các', 'là', 'có', 'cho', 'trong', 'được', 'người', 'không'"
 
@@ -3448,7 +3536,7 @@ _register("ann_recall_at_k", _ann_recall_at_k, _ann_recall_sql())
 _PRIORITY = [
     # new/changed this round — never driver-verified in this form
     "payload_kind_census", "lineage_run_summary", "hygiene_chain",
-    "needs_ocr_route",
+    "needs_ocr_route", "unicode_nfc_normalize", "content_blocklist_flags",
     "extract_flagship", "extract_pdf_pages", "ann_recall_at_k",
     "ann_lsh_topk_blas", "ann_ivf_topk_blas",
     "embedding_near_dup_bucketed_blas", "extract_cascade_in_batch_oracled",

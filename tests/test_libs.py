@@ -1036,3 +1036,44 @@ def test_host_quota_duplicate_urls_count_once(spark):
     # the duplicate winning url keeps BOTH snapshots; /b loses
     assert sorted((r["url"], r["snap"]) for r in out) == [
         ("https://h.org/a", 1), ("https://h.org/a", 2)]
+
+
+def test_normalize_nfc_reorders_and_composes(spark):
+    """UAX #15 edge the oracle also pins: combining marks in the WRONG
+    canonical order (U+0302 ccc=230 before U+0323 ccc=220) must be
+    reordered THEN composed — 'e'+0302+0323 → ệ, not ế+0323 leftovers.
+    NULL text normalizes to ''."""
+    import unicodedata
+
+    from webextract import textstats
+
+    raw = "vie" + chr(0x302) + chr(0x323) + "t cafe" + chr(0x301)
+    docs = spark.createDataFrame(
+        [(0, raw), (1, "plain ascii"), (2, None)],
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: r["text_nfc"] for r in
+           textstats.normalize_nfc(docs).collect()}
+    assert got[0] == unicodedata.normalize("NFC", raw)
+    assert got[0].startswith("việt")  # ệ: one composed code point
+    assert got[1] == "plain ascii"
+    assert got[2] == ""
+
+
+def test_content_blocklist_token_semantics(spark):
+    """Exact-token match, not substring: 'slowly' must NOT trip the
+    'slow' entry; matches are case-insensitive; n_blockwords counts
+    DISTINCT blocklist words (repeats collapse)."""
+    from webextract import textstats
+
+    docs = spark.createDataFrame(
+        [(0, "Slow SLOW slow day"),   # one distinct word, thrice
+         (1, "slowly moving"),        # substring only — no match
+         (2, "spam and Slow stew"),   # two distinct words
+         (3, None)],
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: (r["n_blockwords"], r["blocked"]) for r in
+           textstats.content_blocklist(docs, ["slow", "spam"]).collect()}
+    assert got[0] == (1, 1)
+    assert got[1] == (0, 0)
+    assert got[2] == (2, 1)
+    assert got[3] == (0, 0)

@@ -48,6 +48,10 @@ FAST_QUERIES = [
     "hygiene_chain",
     "lineage_run_summary",
     "needs_ocr_route",
+    # round 5: Unicode NFC (pandas-UDF vs DuckDB utf8proc — two
+    # independent UAX #15 implementations) and the C4 blocklist flag
+    "unicode_nfc_normalize",
+    "content_blocklist_flags",
 ]
 
 

@@ -281,3 +281,20 @@ def test_decontaminate_broadcasts_benchmark(spark):
     plan = _explain(dedup.decontaminate(docs, bench, n=8), "simple")
     assert "BroadcastHashJoin [token" in plan, plan
     assert "SortMergeJoin [token" not in plan, plan
+
+
+def test_nfc_and_blocklist_ride_the_scan(spark):
+    """Round 5: both new text ops are in-row — NFC is one
+    ArrowEvalPython projection (no shuffle), the blocklist flag is pure
+    Catalyst (no shuffle, no join: the blocklist is an array literal in
+    the plan, not a broadcast relation)."""
+    from webextract import textstats
+
+    docs = spark.createDataFrame(
+        [(i, "slow café text") for i in range(8)],
+        "doc_id bigint, text string")
+    plan = _explain(textstats.normalize_nfc(docs))
+    assert "Exchange" not in plan, plan
+    plan2 = _explain(textstats.content_blocklist(docs, ["slow", "spam"]))
+    assert "Exchange" not in plan2, plan2
+    assert "Join" not in plan2, plan2

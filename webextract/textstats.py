@@ -7,7 +7,10 @@ semantics are pinned by the driver's DuckDB oracles in __spark_entry__
 lang_id_char_ngrams / doc_quality_scores / doc_fingerprints /
 winnow_fingerprints / compound_word_segment). Everything is native
 Catalyst — no Python UDFs — so at 100 TB these are one scan + (at
-most) one hash aggregation each.
+most) one hash aggregation each. (One deliberate exception:
+``normalize_nfc`` — Unicode canonical composition is not
+Catalyst-expressible, so it is an Arrow-batched pandas UDF; still
+in-row, zero shuffle.)
 
 Round 4 adds ``join_compounds``/``segment_vi`` — deterministic
 dictionary word segmentation (F13, the reference's underthesea
@@ -421,6 +424,55 @@ def _lit_re(sep: str) -> str:
     the two dialects on the same literal semantics)."""
     import re
     return re.escape(sep)
+
+
+def normalize_nfc(df: DataFrame, text_col: str = "text",
+                  out_col: str = "text_nfc") -> DataFrame:
+    """Unicode NFC normalization (UAX #15 canonical composition) — the
+    pass a Vietnamese-text pipeline runs BEFORE regex field matching:
+    crawled text routinely carries DECOMPOSED base+combining-mark
+    sequences ('e' U+0302 U+0323 for ệ), which fail literal matches
+    against the composed patterns in fields.py's registry (the
+    reference's regexes, ai_service.py:28-57, are composed literals).
+    NFC — including canonical REORDERING of out-of-order combining
+    marks — is not Catalyst-expressible, so this is this module's one
+    exception to the no-Python rule: an Arrow-batched pandas UDF
+    (pandas Series.str.normalize, one C-dispatched call per batch —
+    never per-row Python in the Spark plan). NULL → ''. Scale shape:
+    in-row map, rides the scan, zero shuffle. Driver-oracled
+    byte-identical against DuckDB's utf8proc ``nfc_normalize``
+    (query ``unicode_nfc_normalize``, incl. reordering cases)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):  # pragma: no cover — executor-side
+        return s.fillna("").str.normalize("NFC")
+
+    return df.withColumn(out_col, _nfc(F.coalesce(F.col(text_col),
+                                                  F.lit(""))))
+
+
+def content_blocklist(df: DataFrame, words: list[str],
+                      text_col: str = "text") -> DataFrame:
+    """C4-style badword flag (Raffel et al. 2020 §2.2 drop documents
+    containing any blocklist token; the UT1-blocklist shape): tokenize
+    on non-alphanumeric runs (unicode classes — ``\\p{L}\\p{N}`` are
+    RE2/Java-identical), lowercase, exact-token match against the
+    (tiny, literal) blocklist. Adds ``n_blockwords`` (DISTINCT matched
+    blocklist words — array_intersect dedups in both engines) and
+    ``blocked`` (0/1). Pure in-row Catalyst: zero shuffle, zero joins,
+    no regex-per-word scans — the blocklist lives in the plan as an
+    array literal (fine for the C4 list; a 100k-entry blocklist would
+    move to a broadcast join instead). Callers filter on ``blocked``;
+    the flag form keeps the op lossless for audit queries."""
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                r"[^\p{L}\p{N}]+"),
+        lambda x: x != "")
+    bl = F.array(*[F.lit(w.lower()) for w in words])
+    n = F.size(F.array_intersect(toks, bl)).cast("bigint")
+    return df.withColumn("n_blockwords", n).withColumn(
+        "blocked", (F.col("n_blockwords") > 0).cast("int"))
 
 
 def fingerprints(df: DataFrame, id_col: str = "doc_id",
