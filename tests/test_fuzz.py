@@ -141,3 +141,32 @@ def test_mutant_failures_counted_in_lineage(spark, tmp_path):
                    F.sum("input_count").alias("n")).collect()[0]
     assert sums["n"] == len(muts)
     assert sums["f"] == ext.filter(F.col("status") == "FAILED").count()
+
+
+# the unicode_nfc_normalize oracle's independence argument rests on the
+# two engines (pandas/unicodedata in the Spark plan; utf8proc in
+# DuckDB) implementing the same UAX #15 — property-check that claim
+# directly, engine-to-engine, over Latin + Vietnamese combining-mark
+# soup (the corpus's script; full-unicode alphabets would also probe
+# Unicode-VERSION skew between the two libraries, which is outside the
+# operator's contract)
+_nfc_text = st.text(
+    alphabet=st.one_of(
+        st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        st.sampled_from("àáâãäåèéêëìíîïòóôõöùúûüýạảấầẩẫậắằẳẵặẹẻẽềếểễệ"
+                        "ịỉĩọỏốồổỗộớờởỡợụủứừửữựỳỵỷỹđĐ"),
+        st.sampled_from([chr(c) for c in
+                         (0x300, 0x301, 0x302, 0x303, 0x309, 0x323)]),
+    ),
+    max_size=60)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_nfc_text)
+def test_nfc_python_duckdb_parity(s):
+    import unicodedata
+
+    import duckdb
+
+    got = duckdb.sql("SELECT nfc_normalize(?)", params=[s]).fetchone()[0]
+    assert got == unicodedata.normalize("NFC", s)
