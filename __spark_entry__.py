@@ -2275,6 +2275,66 @@ FROM documents
 """)
 
 
+def _host_disjoint_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[leakage-safe eval split] urls.host_split — host-disjoint
+    train/test assignment (every page of a host on one side; near-dup
+    pages from one site can never straddle the split) over a
+    synthesized url corpus that includes SPELLED VARIANTS of one host
+    (WWW.Big.org:443 vs big.org — host_of canonicalizes before
+    hashing, so variants land together). Output: one row per
+    (host, split) with doc counts — host-disjointness IS the shape:
+    every host appears exactly once."""
+    _prep(spark)
+    from webextract import urls
+    k = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(k % 10 == 0,
+               F.concat(F.lit("https://WWW.Big.org:443/p/"),
+                        k.cast("string")))
+        .when(k % 10 == 1,
+              F.concat(F.lit("https://big.org/q/"), k.cast("string")))
+        .when(k % 10 == 2, F.lit("not-a-url"))
+        .otherwise(F.concat(F.lit("https://ex"), (k % 25).cast("string"),
+                            F.lit(".org/p/"), k.cast("string")))
+        .alias("url"))
+    out = urls.host_split(docs, test_frac=0.2)
+    return (out.groupBy(urls.host_of("url").alias("host"), "split")
+            .agg(F.count("*").alias("n_docs")))
+
+
+# the threshold replays host_split's spec: round(0.2 * 65536) = 13107
+# = 0x3333; md5 is lowercase hex in both engines, compared as strings
+_register("host_disjoint_split", _host_disjoint_split, r"""
+WITH u AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 10 = 0
+         THEN 'https://WWW.Big.org:443/p/' || cast(doc_id as varchar)
+         WHEN doc_id % 10 = 1
+         THEN 'https://big.org/q/' || cast(doc_id as varchar)
+         WHEN doc_id % 10 = 2 THEN 'not-a-url'
+         ELSE 'https://ex' || cast(doc_id % 25 as varchar) || '.org/p/'
+              || cast(doc_id as varchar) END AS url
+  FROM documents
+), h AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1))
+      AS h0,
+    regexp_replace(regexp_replace(h0, '^[^/@]*@', ''), ':[0-9]+$', '')
+      AS h1,
+    CASE WHEN starts_with(h1, 'www.') THEN substring(h1, 5) ELSE h1 END
+      AS host
+  FROM u
+)
+SELECT host,
+       CASE WHEN host = '' THEN 'train'
+            WHEN substring(md5(host), 1, 4) < '3333' THEN 'test'
+            ELSE 'train' END AS split,
+       cast(count(*) as bigint) AS n_docs
+FROM h GROUP BY 1, 2
+""")
+
+
 _EN_STOP = "'the', 'of', 'and', 'a', 'to', 'in', 'is', 'on', 'for', 'with'"
 _VI_STOP = "'và', 'của', 'các', 'là', 'có', 'cho', 'trong', 'được', 'người', 'không'"
 
@@ -3537,6 +3597,7 @@ _PRIORITY = [
     # new/changed this round — never driver-verified in this form
     "payload_kind_census", "lineage_run_summary", "hygiene_chain",
     "needs_ocr_route", "unicode_nfc_normalize", "content_blocklist_flags",
+    "host_disjoint_split",
     "extract_flagship", "extract_pdf_pages", "ann_recall_at_k",
     "ann_lsh_topk_blas", "ann_ivf_topk_blas",
     "embedding_near_dup_bucketed_blas", "extract_cascade_in_batch_oracled",

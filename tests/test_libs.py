@@ -1077,3 +1077,32 @@ def test_content_blocklist_token_semantics(spark):
     assert got[1] == (0, 0)
     assert got[2] == (2, 1)
     assert got[3] == (0, 0)
+
+
+def test_host_split_is_host_disjoint_and_deterministic(spark):
+    """Spelled variants of one host (WWW./port/userinfo) land on the
+    SAME side (host_of canonicalizes before hashing); the split is
+    deterministic across calls; scheme-less rows go to 'train'; a
+    bigger test_frac only GROWS the test side (threshold is a prefix
+    compare, so membership is monotone in the fraction)."""
+    from webextract import urls
+
+    rows = [(i, u) for i, u in enumerate(
+        ["https://WWW.Big.org:443/a", "https://big.org/b",
+         "https://user@big.org/c", "no-scheme-url"]
+        + [f"https://host{j}.example.org/p" for j in range(40)])]
+    docs = spark.createDataFrame(rows, "doc_id bigint, url string")
+
+    out = urls.host_split(docs, test_frac=0.3).collect()
+    by_id = {r["doc_id"]: r["split"] for r in out}
+    assert len({by_id[0], by_id[1], by_id[2]}) == 1  # one host, one side
+    assert by_id[3] == "train"
+    assert set(by_id.values()) == {"train", "test"}  # 0.3 over 41 hosts
+
+    again = {r["doc_id"]: r["split"]
+             for r in urls.host_split(docs, test_frac=0.3).collect()}
+    assert again == by_id
+
+    wider = {r["doc_id"]: r["split"]
+             for r in urls.host_split(docs, test_frac=0.6).collect()}
+    assert all(wider[i] == "test" for i in by_id if by_id[i] == "test")

@@ -52,6 +52,7 @@ FAST_QUERIES = [
     # independent UAX #15 implementations) and the C4 blocklist flag
     "unicode_nfc_normalize",
     "content_blocklist_flags",
+    "host_disjoint_split",
 ]
 
 

@@ -132,3 +132,31 @@ def host_quota(df: DataFrame, url_col: str = "url",
 # The DuckDB replay of the same seven steps lives in __spark_entry__
 # (`canonical_url_dedup` oracle) as a lateral-alias SELECT chain —
 # change the spec here and there together.
+
+
+def host_split(df: DataFrame, url_col: str = "url",
+               test_frac: float = 0.05, salt: str = "",
+               split_col: str = "split") -> DataFrame:
+    """Leakage-safe train/test split, HOST-disjoint: every page of a
+    host lands on the same side, so near-duplicate pages from one site
+    (boilerplate variants, mirrored paths) can never straddle the
+    split and leak eval text into training — the standard failure of
+    row-wise random splits on web corpora. Deterministic and
+    engine-portable: the assignment key is the first 4 hex chars of
+    ``md5(salt || host)`` compared LEXICOGRAPHICALLY against the
+    threshold ``hex(floor(test_frac * 65536))`` — md5 is uniform over
+    hex strings, both Spark and DuckDB emit lowercase hex, and a
+    string compare avoids hex→int conversion (no shared hash function
+    or conv() exists across the two dialects; xxhash64 is
+    Spark-only). ``salt`` re-rolls the assignment without touching
+    the data. Scheme-less URLs (``host_of`` = '') get 'train' — they
+    carry no host to leak through, and the conservative side keeps
+    eval clean. In-row, zero shuffle; adds ``host_col``-free
+    ``split`` ∈ {'train','test'}. test_frac resolution is 1/65536."""
+    thresh = format(max(0, min(65536, round(test_frac * 65536))), "04x")
+    key = F.substring(F.md5(F.concat(F.lit(salt), host_of(url_col))), 1, 4)
+    return df.withColumn(
+        split_col,
+        F.when(host_of(url_col) == "", F.lit("train"))
+        .when(key < F.lit(thresh), F.lit("test"))
+        .otherwise(F.lit("train")))
