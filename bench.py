@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     # media-mix corpus) and the composed pre-training hygiene chain
     "payload_kind_census",
     "hygiene_chain",
+    "unicode_nfc_normalize",
+    "content_blocklist_flags",
+    "host_disjoint_split",
     # round 4: corpus-hygiene operators (Gopher filters, paragraph-level
     # dedup with reassembly, PII scrubbing, host quotas)
     "gopher_repetition_signals",
