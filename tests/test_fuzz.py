@@ -74,7 +74,9 @@ _pdf_structured = st.lists(
 @given(st.one_of(_pdf_noise, _pdf_structured))
 def test_pdf_parser_total_on_arbitrary_bytes(payload):
     rec = oracle.extract_document("https://ex.org/fuzz/x.pdf", payload)
-    assert rec["status"] in ("COMPLETED", "FAILED")
+    # NEEDS_OCR is reachable: a generated page tree with zero text runs
+    # plus a '/Image' token classifies as a scan (r5 taxonomy)
+    assert rec["status"] in ("COMPLETED", "FAILED", "NEEDS_OCR")
     assert isinstance(rec["text"], str)
     assert isinstance(rec["n_pages"], int) and rec["n_pages"] >= 0
     if rec["status"] == "FAILED":
