@@ -100,10 +100,18 @@ def main() -> None:
         cheap_fields=args.cheap_fields,
         canonical_keys=args.canonical_keys,
     )
-    n = out.count()
-    ok = out.filter(out.status == "COMPLETED").count()
+    from pyspark.sql import functions as F
+    # one job, not one count() per status; NEEDS_OCR is classified-ok
+    # (the lineage convention), NOT failed
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(out.status == "COMPLETED", 1)).alias("ok"),
+        F.count(F.when(out.status == "NEEDS_OCR", 1)).alias("ocr"),
+        F.count(F.when(out.status == "FAILED", 1)).alias("bad"),
+    ).collect()[0]
     print(json.dumps({
-        "rows": n, "completed": ok, "failed": n - ok,
+        "rows": agg["n"], "completed": agg["ok"],
+        "needs_ocr": agg["ocr"], "failed": agg["bad"],
         "wall_sec": round(time.monotonic() - t0, 2), "output": args.output,
     }))
 
