@@ -77,7 +77,7 @@ def main() -> None:
         from webextract import pipeline
         pipeline.ship_package(spark)
 
-    from pyspark.sql import functions as F  # noqa: F401
+    from pyspark.sql import functions as F
 
     from webextract import pipeline, runner
 
@@ -100,7 +100,6 @@ def main() -> None:
         cheap_fields=args.cheap_fields,
         canonical_keys=args.canonical_keys,
     )
-    from pyspark.sql import functions as F
     # one job, not one count() per status; NEEDS_OCR is classified-ok
     # (the lineage convention), NOT failed
     agg = out.agg(

@@ -1106,3 +1106,22 @@ def test_host_split_is_host_disjoint_and_deterministic(spark):
     wider = {r["doc_id"]: r["split"]
              for r in urls.host_split(docs, test_frac=0.6).collect()}
     assert all(wider[i] == "test" for i in by_id if by_id[i] == "test")
+
+
+def test_host_split_full_test_fraction_boundary(spark):
+    """test_frac=1.0 rounds to 65536 — not representable as a 4-hex
+    string ('10000' would be a 5-char lexicographic trap assigning
+    only ~6% to test) — and must short-circuit to ALL hosted rows
+    'test'; frac=0.0 must yield all 'train'."""
+    from webextract import urls
+
+    rows = [(i, f"https://h{i}.example.org/p") for i in range(64)] \
+        + [(64, "no-scheme")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, url string")
+    all_test = {r["doc_id"]: r["split"]
+                for r in urls.host_split(docs, test_frac=1.0).collect()}
+    assert all(v == "test" for k, v in all_test.items() if k < 64)
+    assert all_test[64] == "train"  # scheme-less stays conservative
+    all_train = {r["split"] for r in
+                 urls.host_split(docs, test_frac=0.0).collect()}
+    assert all_train == {"train"}

@@ -441,12 +441,14 @@ def normalize_nfc(df: DataFrame, text_col: str = "text",
     never per-row Python in the Spark plan). NULL → ''. Scale shape:
     in-row map, rides the scan, zero shuffle. Driver-oracled
     byte-identical against DuckDB's utf8proc ``nfc_normalize``
-    (query ``unicode_nfc_normalize``, incl. reordering cases)."""
+    (query ``unicode_nfc_normalize``, incl. reordering cases). The
+    plan-level coalesce OWNS the NULL → '' contract — the UDF never
+    sees a null."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
     def _nfc(s):  # pragma: no cover — executor-side
-        return s.fillna("").str.normalize("NFC")
+        return s.str.normalize("NFC")
 
     return df.withColumn(out_col, _nfc(F.coalesce(F.col(text_col),
                                                   F.lit(""))))

@@ -144,19 +144,25 @@ def host_split(df: DataFrame, url_col: str = "url",
     row-wise random splits on web corpora. Deterministic and
     engine-portable: the assignment key is the first 4 hex chars of
     ``md5(salt || host)`` compared LEXICOGRAPHICALLY against the
-    threshold ``hex(floor(test_frac * 65536))`` — md5 is uniform over
-    hex strings, both Spark and DuckDB emit lowercase hex, and a
-    string compare avoids hex→int conversion (no shared hash function
-    or conv() exists across the two dialects; xxhash64 is
-    Spark-only). ``salt`` re-rolls the assignment without touching
+    threshold ``format(round(test_frac * 65536), '04x')`` — md5 is
+    uniform over hex strings, both Spark and DuckDB emit lowercase
+    hex, and a string compare avoids hex→int conversion (no shared
+    hash function or conv() exists across the two dialects; xxhash64
+    is Spark-only). A DuckDB replay must use this exact threshold
+    string (the `host_disjoint_split` oracle hard-codes '3333' for
+    frac 0.2). ``salt`` re-rolls the assignment without touching
     the data. Scheme-less URLs (``host_of`` = '') get 'train' — they
     carry no host to leak through, and the conservative side keeps
     eval clean. In-row, zero shuffle; adds ``host_col``-free
-    ``split`` ∈ {'train','test'}. test_frac resolution is 1/65536."""
-    thresh = format(max(0, min(65536, round(test_frac * 65536))), "04x")
+    ``split`` ∈ {'train','test'}. test_frac resolution is 1/65536;
+    frac ≥ 1 - 1/131072 rounds to 65536, which cannot be a 4-hex
+    string ('10000' would compare as 5 chars and break the
+    lexicographic order) — that case short-circuits to all-test."""
+    t = max(0, min(65536, round(test_frac * 65536)))
     key = F.substring(F.md5(F.concat(F.lit(salt), host_of(url_col))), 1, 4)
+    is_test = F.lit(True) if t >= 65536 else key < F.lit(format(t, "04x"))
     return df.withColumn(
         split_col,
         F.when(host_of(url_col) == "", F.lit("train"))
-        .when(key < F.lit(thresh), F.lit("test"))
+        .when(is_test, F.lit("test"))
         .otherwise(F.lit("train")))
