@@ -33,11 +33,13 @@ applicable to any user corpus):
   near-dup pairs, exact baselines
 - ``textstats`` — token counts, language ID, quality scores, winnowing
   fingerprints, dictionary word segmentation, Gopher repetition
-  signals + quality-rule flags (round 4)
+  signals + quality-rule flags (round 4), Unicode NFC normalization +
+  C4-style blocklist flags (round 5)
 - ``pii``      — email/IPv4/phone redaction with per-label counts
   (round 4)
 - ``urls``     — canonical URL normalization, host extraction,
-  host-level quota sampling (round 4)
+  host-level quota sampling (round 4), leakage-safe host-disjoint
+  train/test splits (round 5)
 - ``warc``     — raw WARC/1.0 ingestion into the pages table (round 4)
 - ``validate`` — field-warning rows (required/date/numeric/low-conf)
 - ``cache``    — release() for the persisted intermediates library entry
