@@ -209,9 +209,10 @@ def test_repetition_signals_plan_shape(spark):
 def test_dedup_paragraphs_window_free(spark):
     """Paragraph dedup's first-occurrence election is a hash aggregation
     (map-side partial min) whose winner row IS the output row — never a
-    per-paragraph window sort, and (r5) no winner join: paragraph text
-    must not be a join key and the plan carries no join at all before
-    the final per-doc totals join."""
+    per-paragraph window sort, and (r5 sentinel shape) NO joins at all:
+    the per-doc sentinel carries the totals through the election, so
+    the whole op is scan → explode → two hash aggs — exactly two
+    exchanges, input referenced once."""
     from webextract import dedup
 
     df = spark.createDataFrame(
@@ -221,21 +222,19 @@ def test_dedup_paragraphs_window_free(spark):
     assert "partial_min" in plan or "partial min" in plan.lower() \
         or "HashAggregate" in plan, plan
     import re
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
-    # only the final per-doc totals join survives (tree nodes, not the
-    # details section)
-    assert len(re.findall(r"\(\d+\) \w*Join", plan)) <= 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+    assert len(re.findall(r"\(\d+\) \w*Join", plan)) == 0, plan
 
 
 def test_hygiene_chain_composition_bounded(spark):
     """The pre-training hygiene chain host_quota → dedup_paragraphs →
     gopher_quality_flags composes into ONE plan without pathological
-    recomputation (r4 verdict #7): exchange count stays within the sum
-    of the parts + one quota-subtree re-reference (dedup consumes its
-    input twice: explode chain + per-doc totals), with zero windows and
-    zero Python stages. Pre-r5 the dedup winner join referenced the
-    input a THIRD time and the composed plan re-executed the quota
-    election once more (23 exchanges; now ≤15)."""
+    recomputation (r4 verdict #7): dedup's sentinel election references
+    its input exactly ONCE, so the quota subtree runs once and the only
+    join in the whole chain is the quota's own semi-join; zero windows,
+    zero Python stages. History: 23 exchanges with the winner join
+    (input ×3), 15 after the min-struct election (×2), 8 with the
+    sentinel shape (×1)."""
     from webextract import dedup, textstats, urls
 
     docs = spark.createDataFrame(
@@ -249,7 +248,8 @@ def test_hygiene_chain_composition_bounded(spark):
     assert "pythonudf" not in plan.lower(), plan
     import re
     n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
-    assert n_ex <= 15, n_ex
+    assert n_ex <= 8, n_ex
+    assert len(re.findall(r"\(\d+\) \w*Join", plan)) <= 1, plan
 
 
 def test_host_quota_window_free(spark):

@@ -164,48 +164,60 @@ def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
     The reassembly ``collect_list`` buffer is bounded by the doc's own
     paragraph count. Exactness rests on md5 collision-freedom
     (standard for exact dedup; the same assumption as
-    ``fingerprints``). NULL text ≡ empty doc. The input subtree is
-    referenced exactly TWICE (explode chain + per-doc totals) — pinned
-    by tests/test_plans.py on the composed hygiene chain.
+    ``fingerprints``). NULL text ≡ empty doc.
+
+    The input subtree is referenced exactly ONCE (r5 follow-up: a
+    per-doc SENTINEL element prepended to the paragraph array before
+    the explode carries the doc's paragraph total through the election
+    — its key is disjoint from every md5 by construction, it always
+    wins its singleton election, and it guarantees one reassembly row
+    per input doc, so the separate per-doc-totals pass and its second
+    input reference are gone; a same-session A/B had shown the
+    two-reference plan re-executing an upstream host-quota election
+    and LOSING to stage-materialization, BENCH.md). Pinned by
+    tests/test_plans.py on the composed hygiene chain. Paragraph
+    positions are ordinals within the min_chars-filtered array
+    (sentinel = 0) — a uniform monotone relabel per doc, so elections
+    and reassembly order are unchanged.
 
     Returns one row per input doc: ``(id, text, n_paras,
     n_paras_kept)`` — ``text`` is the deduplicated reassembly (empty
     string when every paragraph was seen earlier)."""
     from .textstats import _lit_re
-    parts = F.split(F.coalesce(F.col(text_col), F.lit("")), _lit_re(sep))
+    parts = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), _lit_re(sep)),
+        lambda x: F.length(x) >= min_chars)
+    combo = F.concat(F.array(F.lit("")), parts)
     keyed = df.select(
-        F.col(id_col), F.posexplode(parts).alias("_pos", "_para")
-    ).filter(F.length("_para") >= min_chars) \
-        .withColumn("_pkey", F.md5("_para"))
+        F.col(id_col),
+        F.size(parts).cast("bigint").alias("_np"),
+        F.posexplode(combo).alias("_pos", "_para"),
+    ).withColumn(
+        "_pkey",
+        # 'S:'-prefixed keys are 34+ chars — disjoint from 32-char md5s
+        F.when(F.col("_pos") == 0,
+               F.concat(F.lit("S:"), F.col(id_col).cast("string")))
+        .otherwise(F.md5("_para")))
     kept = keyed.groupBy("_pkey").agg(
-        F.min(F.struct(F.col(id_col), F.col("_pos"), F.col("_para")))
-        .alias("_w")
+        F.min(F.struct(F.col(id_col), F.col("_pos"), F.col("_para"),
+                       F.col("_np"))).alias("_w")
     ).select(F.col(f"_w.{id_col}").alias(id_col),
              F.col("_w._pos").alias("_pos"),
-             F.col("_w._para").alias("_para"))
-    rebuilt = kept.groupBy(id_col).agg(
+             F.col("_w._para").alias("_para"),
+             F.col("_w._np").alias("_np"))
+    return kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("_pos", "_para"))),
+                F.filter(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_para"))),
+                    lambda s: s["_pos"] > 0),
                 lambda s: s["_para"]),
-            sep).alias("_text"),
-        F.count("*").alias("_n_kept"),
-    )
-    base = df.select(
-        F.col(id_col),
-        F.size(F.filter(parts, lambda x: F.length(x) >= min_chars))
-        .cast("bigint").alias("n_paras"),
-    )
-    return (
-        base.join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("_text", F.lit("")).alias("text"),
-            "n_paras",
-            F.coalesce(F.col("_n_kept").cast("bigint"),
-                       F.lit(0).cast("bigint")).alias("n_paras_kept"),
-        )
-    )
+            sep).alias("text"),
+        F.max("_np").alias("n_paras"),
+        # every doc's sentinel survives its singleton election, so the
+        # group always exists and holds exactly one pos-0 row
+        (F.count("*") - 1).cast("bigint").alias("n_paras_kept"),
+    ).select(id_col, "text", "n_paras", "n_paras_kept")
 
 
 def decontaminate(df: DataFrame, benchmark: DataFrame,
