@@ -192,18 +192,24 @@ def test_gopher_flags_zero_exchange(spark):
 
 
 def test_repetition_signals_plan_shape(spark):
-    """repetition_signals: two hash aggregations, no Window, and the
+    """repetition_signals: two hash aggregations, no Window, the
     dup-gram arm ships an xxhash64 fingerprint instead of the gram text
-    (VERDICT r4 #2 — the gram-string shuffle halving). Exchange count
-    pinned so the fingerprint change can never silently add a shuffle."""
+    (VERDICT r4 #2 — the gram-string shuffle halving), and (r5
+    sentinel shape) NO metrics join — the per-doc sentinel row carries
+    the line metrics through the gram aggregation, so the whole op is
+    scan → explode → two hash aggs: 2 exchanges, input referenced
+    once. Pinned so a change can never silently add a shuffle or a
+    second input reference."""
     from webextract import textstats
+    import re
 
     df = spark.createDataFrame(
         [(i, "a b c a b c") for i in range(8)], "doc_id bigint, text string")
     plan = _explain(textstats.repetition_signals(df))
     assert "Window" not in plan, plan
     assert "xxhash64" in plan.lower(), plan
-    assert plan.count("Exchange") <= 6, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+    assert len(re.findall(r"\(\d+\) \w*Join", plan)) == 0, plan
 
 
 def test_dedup_paragraphs_window_free(spark):

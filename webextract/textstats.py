@@ -256,13 +256,17 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id",
         F.filter(
             F.split(F.replace(t, F.lit(line_sep), F.lit(" ")), " "),
             lambda x: x != "").alias("_toks"),
-        n_lines.alias("n_lines"),
-        F.when(n_lines > 0,
-               (n_lines - F.size(dlines)).cast("double") / n_lines
-               ).otherwise(0.0).alias("dup_line_frac"),
-        F.when(lchars > 0,
-               (lchars - _chars(dlines)).cast("double") / lchars
-               ).otherwise(0.0).alias("dup_line_char_frac"),
+        # raw line-metric INTEGERS, string-encoded — they ride the
+        # per-doc sentinel row's gram slot through the aggregation
+        # chain (exact: no double formatting round-trip; the fractions
+        # are derived after the final aggregate)
+        F.concat_ws(
+            "\x1f",
+            n_lines.cast("string"),
+            F.size(dlines).cast("string"),
+            lchars.cast("string"),
+            _chars(dlines).cast("string"),
+        ).alias("_lmetrics"),
     )
 
     def _grams(n: int) -> Column:
@@ -270,9 +274,14 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id",
         return token_windows(F.col("_toks"), n)
 
     # Both n-gram metrics share ONE exploded pass (tagged union) and one
-    # aggregation chain — the input subtree is computed twice total
-    # (row-level line metrics + the gram pass), not once per metric
-    # (Spark inlines shared subtrees; the r1 verdict's CTE lesson).
+    # aggregation chain, and a per-doc SENTINEL row (tag 's', gram =
+    # the string-encoded line metrics) rides the same union — so the
+    # input subtree is referenced exactly ONCE, there is no final
+    # metrics join, and composing this op over an expensive upstream
+    # (host quota, dedup) never re-executes that subtree (the same
+    # single-reference discipline as dedup.dedup_paragraphs; the
+    # sentinel costs one extra row per doc against ~hundreds of gram
+    # rows and adds no bytes to the gram rows themselves).
     # Shuffle-byte economy (VERDICT r4 #2): only the TOP-gram arm's
     # output needs the gram text, so only that arm ships strings; the
     # dup arm needs nothing but count × length per distinct gram, so it
@@ -292,9 +301,16 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id",
             F.xxhash64(g).alias("ghash"),
             F.length(g).alias("glen")))
 
+    def _sentinel() -> Column:
+        return F.array(F.struct(
+            F.lit("s").alias("tag"), F.col("_lmetrics").alias("gram"),
+            F.lit(0).cast("bigint").alias("ghash"),
+            F.lit(0).alias("glen")))
+
     tg = base.select(
         id_col,
-        F.explode(F.concat(_tag_top(_grams(n_top)),
+        F.explode(F.concat(_sentinel(),
+                           _tag_top(_grams(n_top)),
                            _tag_dup(_grams(n_dup)))).alias("_tg"),
     ).select(id_col, F.col("_tg.tag").alias("tag"),
              F.col("_tg.gram").alias("gram"),
@@ -304,29 +320,33 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id",
         F.count("*").alias("cnt"))
     gchars = F.col("cnt") * F.col("glen")
     agg = counts.groupBy(id_col).agg(
+        F.max(F.when(F.col("tag") == "s", F.col("gram"))).alias("_lm"),
         F.max(F.when(F.col("tag") == "t", F.struct("cnt", "gram")))
         .alias("_top"),
         F.sum(F.when(F.col("tag") == "t", gchars)).alias("_all_t"),
         F.sum(F.when((F.col("tag") == "d") & (F.col("cnt") > 1), gchars))
         .alias("_dup_d"),
         F.sum(F.when(F.col("tag") == "d", gchars)).alias("_all_d"),
-    ).select(
-        id_col,
-        F.col("_top.gram").alias("top_gram"),
-        ((F.col("_top.cnt") * F.length("_top.gram")).cast("double")
-         / F.col("_all_t")).alias("top_gram_frac"),
-        (F.coalesce(F.col("_dup_d"), F.lit(0)).cast("double")
-         / F.col("_all_d")).alias("dup_gram_frac"),
     )
-    return (
-        base.drop("_toks")
-        .join(agg, id_col, "left")
-        .select(
-            id_col, "n_lines", "dup_line_frac", "dup_line_char_frac",
-            F.coalesce("top_gram", F.lit("")).alias("top_gram"),
-            F.coalesce("top_gram_frac", F.lit(0.0)).alias("top_gram_frac"),
-            F.coalesce("dup_gram_frac", F.lit(0.0)).alias("dup_gram_frac"),
-        )
+    lm = F.split(F.col("_lm"), "\x1f")
+    nl = lm[0].cast("bigint")
+    ndl = lm[1].cast("bigint")
+    lc = lm[2].cast("bigint")
+    dc = lm[3].cast("bigint")
+    return agg.select(
+        id_col,
+        nl.alias("n_lines"),
+        F.when(nl > 0, (nl - ndl).cast("double") / nl)
+        .otherwise(0.0).alias("dup_line_frac"),
+        F.when(lc > 0, (lc - dc).cast("double") / lc)
+        .otherwise(0.0).alias("dup_line_char_frac"),
+        F.coalesce(F.col("_top.gram"), F.lit("")).alias("top_gram"),
+        F.coalesce(
+            (F.col("_top.cnt") * F.length("_top.gram")).cast("double")
+            / F.col("_all_t"), F.lit(0.0)).alias("top_gram_frac"),
+        F.coalesce(
+            F.coalesce(F.col("_dup_d"), F.lit(0)).cast("double")
+            / F.col("_all_d"), F.lit(0.0)).alias("dup_gram_frac"),
     )
 
 
