@@ -241,7 +241,14 @@ def decontaminate(df: DataFrame, benchmark: DataFrame,
     broadcast-hash-join over the scan with no corpus-side shuffle —
     then one more broadcast (contaminated ids are few) anti/left joins
     back. The corpus gram explosion (~tokens/doc rows per doc) never
-    leaves the executor: the broadcast join filters in-place."""
+    leaves the executor: the broadcast join filters in-place.
+
+    Composition note: the corpus subtree is referenced TWICE (gram arm
+    + output arm) — inherent here, since the hit-id set derives from
+    the corpus itself and the output needs the full rows. Over a scan
+    the second reference is a cheap re-scan; over an expensive lazy
+    upstream, checkpoint/persist the input first (see urls.host_quota
+    and BENCH.md's composed-chain A/B for the measured cost)."""
     if mode not in ("remove", "flag"):
         raise ValueError(f"mode must be 'remove' or 'flag', got {mode!r}")
     def _norm(col: str) -> Column:

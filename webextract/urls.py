@@ -115,7 +115,17 @@ def host_quota(df: DataFrame, url_col: str = "url",
     row would buffer whole documents in one non-spillable
     aggregation). Winners semi-join back to the full rows — duplicate
     URLs therefore count ONCE toward the quota and travel together.
-    Extra columns ride along; adds ``host_col``."""
+    Extra columns ride along; adds ``host_col``.
+
+    Composition note: this op references its input subtree TWICE (the
+    slim election + the full-row semi-join side) — deliberate, because
+    the single-reference alternative would buffer payload columns in
+    the cap's non-spillable aggregation. Over a parquet scan the
+    second reference is a cheap pruned re-scan; over an EXPENSIVE
+    lazy upstream, checkpoint/persist the input first (the measured
+    cost of multiply-referenced upstreams is in BENCH.md's composed-
+    chain A/B; dedup_paragraphs and repetition_signals are
+    single-reference and compose freely)."""
     from .dedup import cap_buckets
     h = df.withColumn(host_col, host_of(url_col))
     quotable = h.filter(F.col(host_col) != "")
