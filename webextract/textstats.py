@@ -463,7 +463,15 @@ def normalize_nfc(df: DataFrame, text_col: str = "text",
     byte-identical against DuckDB's utf8proc ``nfc_normalize``
     (query ``unicode_nfc_normalize``, incl. reordering cases). The
     plan-level coalesce OWNS the NULL → '' contract — the UDF never
-    sees a null."""
+    sees a null.
+
+    Span-offset caveat: the extraction pipeline's char offsets index
+    the text AS THE PARSER SAW IT (the reference's contract — it does
+    not normalize, so neither does the pipeline). Normalizing the
+    EXTRACTED text column here shifts composed characters and
+    invalidates those offsets; to get offsets over NFC text, normalize
+    the decoded payload BEFORE extraction instead (and accept the
+    deliberate divergence from reference byte-parity)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
